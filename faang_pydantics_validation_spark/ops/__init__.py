@@ -1,0 +1,10 @@
+"""Large-scale training-data pipeline operators.
+
+Beyond the reference's validation surface, these are the operations a
+100 TB training-data pipeline runs over the same tables: deduplication
+(exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity search over
+embedding columns, text analysis (language id, quality scores, token
+counts, fingerprints), and multimodal binary-column plumbing. All
+DataFrame-native; Python touches data only through Arrow-batched pandas
+UDFs where expressions genuinely cannot express the op.
+"""

@@ -1,0 +1,358 @@
+"""Deduplication operators for a web-scale document table.
+
+Four tiers, cheapest first — exactly the ladder a 100 TB training-data
+pipeline runs:
+
+1. exact        — sha256(content) groupBy; one shuffle on the hash.
+2. n-gram Jaccard — exact set similarity on shingles for CANDIDATE pairs
+                  (never all pairs).
+3. MinHash+LSH  — signature → bands → band-bucket join; candidate pairs
+                  are only those sharing a band bucket, so the quadratic
+                  blowup is confined to near-duplicate clusters.
+4. SimHash      — 64-bit fingerprints, banded for candidate generation,
+                  verified by Hamming distance (F.bit_count).
+
+Everything is native Column expressions (xxhash64 / transform / aggregate
+folds) — no Python UDFs anywhere, so each stage is whole-stage-codegen'd
+and the only shuffles are the band-bucket groupBys/joins on bounded keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ------------------------------------------------------------------ exact --
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(content_hash, n_copies, keep_id, dup_ids) for every group with >1
+    copies. One shuffle on the 256-bit hash — perfectly uniform keys, no
+    skew by construction."""
+    h = F.sha2(F.col(text_col), 256)
+    return (
+        df.select(h.alias("content_hash"), F.col(id_col).alias("__id"))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("__id").alias("keep_id"),
+            F.sort_array(F.collect_list("__id")).alias("all_ids"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Canonical survivor per distinct content: min(id) per sha256 group.
+    Returns (content_hash, doc_id). Deterministic — no dropDuplicates
+    (whose survivor depends on partition order)."""
+    h = F.sha2(F.col(text_col), 256)
+    return (
+        df.select(h.alias("content_hash"), F.col(id_col).alias("doc_id"))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+
+
+# --------------------------------------------------------------- shingles --
+
+
+def tokenize(text: Column) -> Column:
+    """Lowercased whitespace tokens (empty text ⇒ empty array)."""
+    trimmed = F.trim(F.lower(text))
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles. Documents shorter than k tokens get one
+    shingle = the whole text (so they still hash somewhere)."""
+    tokens = tokenize(text)
+    n = F.size(tokens)
+    windows = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i, k)),
+    )
+    return F.array_distinct(windows)
+
+
+def jaccard(shingles_a: Column, shingles_b: Column) -> Column:
+    """Exact Jaccard similarity of two distinct-element arrays."""
+    inter = F.size(F.array_intersect(shingles_a, shingles_b))
+    union = F.size(F.array_union(shingles_a, shingles_b))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def ngram_jaccard_pairs(
+    pairs: DataFrame,
+    text_a: str,
+    text_b: str,
+    k: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Append an exact ``jaccard`` column to a candidate-pair frame and
+    filter by threshold. Narrow — the pair frame was already joined."""
+    out = pairs.withColumn(
+        "jaccard", jaccard(word_shingles(F.col(text_a), k), word_shingles(F.col(text_b), k))
+    )
+    return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
+
+
+# ---------------------------------------------------------------- minhash --
+
+
+def signature_from_shingles(sh: Column, num_perm: int = 64) -> Column:
+    """array<bigint> of ``num_perm`` minhash values: min over shingles of
+    xxhash64(shingle, seed_i). Row-local — no shuffle, no UDF.
+
+    IMPORTANT: pass a materialized COLUMN of shingles (a cheap attribute
+    reference), never the shingle-building expression itself — Spark
+    re-evaluates higher-order-function lambda subtrees per element, so an
+    inline expression would rebuild the shingle array num_perm times per
+    row (measured: ~100x slowdown)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_perm - 1)),
+        lambda seed: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, seed))),
+    )
+
+
+def with_shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """(doc_id, shingles) — tokens and shingles built in SEPARATE
+    projections so each stays a single-evaluation column (CollapseProject
+    keeps the boundary: multiply-referenced non-cheap aliases are not
+    inlined). Empty shingle sets map to [''] so they still hash."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("__tokens")
+    )
+    n = F.size(F.col("__tokens"))
+    windows = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(F.col("__tokens"), i, k)),
+    )
+    raw = toks.select("doc_id", F.array_distinct(windows).alias("__sh_raw"))
+    return raw.select(
+        "doc_id",
+        F.when(F.size("__sh_raw") > 0, F.col("__sh_raw"))
+        .otherwise(F.array(F.lit("")))
+        .alias("shingles"),
+    )
+
+
+def lsh_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """array<struct<band:int, bucket:bigint>> — bucket = hash of the band's
+    signature slice. bands * rows_per_band must equal len(sig). Static
+    Python loop: band count is a plan-time constant, so each band slice is
+    its own codegen'd expression."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(sig, b * rows_per_band + 1, rows_per_band),
+                            lambda v: v.cast("string"),
+                        ),
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) sharing ≥1 LSH band
+    bucket.
+
+    Plan shape: narrow signature pass → explode bands (fan-out = bands) →
+    self-join on (band, bucket) → distinct pairs. The join key includes the
+    band index so buckets from different bands never collide; bucket
+    values are 64-bit hashes, so the shuffle is uniform except for true
+    near-dup clusters — which is irreducible (they ARE the output).
+    """
+    rows_per_band = num_perm // bands
+    assert bands * rows_per_band == num_perm, "bands must divide num_perm"
+    shingled = with_shingles(df, id_col, text_col, k)
+    signed = shingled.select(
+        "doc_id", signature_from_shingles(F.col("shingles"), num_perm).alias("__sig")
+    )
+    banded = signed.select(
+        "doc_id",
+        F.explode(lsh_bands(F.col("__sig"), bands, rows_per_band)).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            on=(F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("id_a"),
+            F.col("r.doc_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full MinHash-LSH pipeline: candidates → exact Jaccard verify →
+    (id_a, id_b, jaccard) pairs above threshold.
+
+    The verify join re-fetches only candidate docs' texts (semi-join-sized,
+    not table-sized) — at 100 TB the candidate set is orders of magnitude
+    smaller than the corpus.
+    """
+    cands = minhash_candidates(df, id_col, text_col, num_perm, bands, k)
+    shingled = with_shingles(df, id_col, text_col, k)
+    sh_a = shingled.select(
+        F.col("doc_id").alias("__ida"), F.col("shingles").alias("__sh_a")
+    )
+    sh_b = shingled.select(
+        F.col("doc_id").alias("__idb"), F.col("shingles").alias("__sh_b")
+    )
+    enriched = (
+        cands.join(sh_a, on=F.col("id_a") == F.col("__ida"))
+        .join(sh_b, on=F.col("id_b") == F.col("__idb"))
+    )
+    verified = enriched.withColumn(
+        "jaccard", jaccard(F.col("__sh_a"), F.col("__sh_b"))
+    ).filter(F.col("jaccard") >= threshold)
+    return verified.select("id_a", "id_b", "jaccard")
+
+
+# ---------------------------------------------------------------- simhash --
+
+
+def with_simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, simhash) — 64-bit SimHash as bigint. Per-token xxhash64,
+    signed bit votes folded row-locally (aggregate over the token array;
+    no shuffle), sign vector packed into one bigint.
+
+    Tokens → votes → packed are three separate projections: the vote
+    array is referenced 64 times by the packing expression, so it must be
+    a materialized attribute, not an inline fold (same re-evaluation trap
+    as :func:`signature_from_shingles`)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("__tokens")
+    )
+    # one xxhash64 per token, materialized BEFORE the bit fold — the fold
+    # references its hash 64 times (once per bit), and lambda variables are
+    # bound values while expressions would be re-evaluated per reference
+    hashes = toks.select(
+        "doc_id",
+        F.transform(F.col("__tokens"), lambda t: F.xxhash64(t)).alias("__hashes"),
+    )
+    zeros = F.array_repeat(F.lit(0).cast("long"), 64)
+    votes = hashes.select(
+        "doc_id",
+        F.aggregate(
+            F.col("__hashes"),
+            zeros,
+            lambda acc, h: F.zip_with(
+                acc,
+                F.array(
+                    *[
+                        F.when(
+                            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
+                            F.lit(1).cast("long"),
+                        ).otherwise(F.lit(-1).cast("long"))
+                        for b in range(64)
+                    ]
+                ),
+                lambda a, v: a + v,
+            ),
+        ).alias("__votes"),
+    )
+    # pack: bit b set iff votes[b] > 0; bit 63 enters as the signed-64
+    # negative offset so the sum stays inside bigint
+    terms = [
+        F.when(
+            F.element_at(F.col("__votes"), b + 1) > 0,
+            F.lit(-(2**63) if b == 63 else (1 << b)).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for b in range(64)
+    ]
+    packed = terms[0]
+    for t in terms[1:]:
+        packed = packed + t
+    return votes.select("doc_id", packed.alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit fingerprint into
+    ``bands`` chunks (pigeonhole: any pair within Hamming distance
+    bands-1 shares ≥1 exact chunk), join on (band, chunk), verify
+    bit_count(xor) ≤ max_hamming. Returns (id_a, id_b, hamming)."""
+    chunk_bits = 64 // bands
+    sh = with_simhash(df, id_col, text_col)
+    mask = (1 << chunk_bits) - 1
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("simhash", b * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bc"),
+    ).select("doc_id", "simhash", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
+    left, right = banded.alias("l"), banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            on=(F.col("l.band") == F.col("r.band"))
+            & (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("id_a"),
+            F.col("r.doc_id").alias("id_b"),
+            hamming64(F.col("l.simhash"), F.col("r.simhash")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs

@@ -1,0 +1,131 @@
+"""Text analysis over a document table — all native Column expressions.
+
+Every op here compiles to whole-stage-codegen'd JVM expressions (regex,
+length, split); NO Python UDFs. At 100 TB these run as a single narrow
+pass fused with whatever scan feeds them, and column pruning keeps the
+scan to the ``text`` column only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: marker tokens per language for the n-gram/stopword language heuristic.
+#: Deliberately tiny and deterministic so the same table is computable in
+#: plain SQL by the correctness oracle.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of"),
+    "es": ("el", "la", "de"),
+    "de": ("der", "und", "die"),
+    "fr": ("le", "la", "et"),
+    "zh": ("的", "是", "了"),
+}
+
+#: BPE-ish token regex: runs of word chars, or a single non-space symbol —
+#: a public approximation of byte-pair pre-tokenization splits.
+TOKEN_REGEX = r"[A-Za-z0-9_]+|[^\sA-Za-z0-9_]"
+
+
+def occurrence_count(text: Column, marker: str) -> Column:
+    """Count of non-overlapping occurrences of ``marker`` — via length
+    delta under replace, so it stays a codegen'd expression (no UDF) and
+    is reproducible verbatim in ANSI SQL."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(marker), F.lit(""))))
+        / len(marker)
+    ).cast("int")
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language marker-hit score. Markers are matched as substrings
+    bounded by spaces (`` the ``) so partial-word hits don't count; the
+    text is padded so edge tokens match too."""
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    return {
+        lang: sum(
+            (occurrence_count(padded, f" {m} ") for m in markers),
+            F.lit(0),
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def detect_language(text: Column) -> Column:
+    """argmax over lang_scores with deterministic tie-break (first language
+    in LANG_MARKERS order wins); all-zero ⇒ 'und'."""
+    scores = lang_scores(text)
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for lang in reversed(list(scores)):  # earlier langs override later ties
+        pred = F.when((scores[lang] > 0) & (scores[lang] == best), F.lit(lang)).otherwise(
+            pred
+        )
+    return pred
+
+
+def token_count_whitespace(text: Column) -> Column:
+    """Whitespace tokenization count (empty string ⇒ 0)."""
+    trimmed = F.trim(text)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def token_count_bpeish(text: Column) -> Column:
+    """Count of TOKEN_REGEX matches — the BPE-ish pre-token count."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), F.lit(0)))
+
+
+def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring columns appended in one narrow pass:
+
+    n_chars, n_tokens (whitespace), n_bpeish_tokens, punct_ratio,
+    digit_ratio, upper_ratio, mean_token_len, stopword_hits (en markers),
+    quality_ok (simple thresholded verdict).
+    """
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    nonpunct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+    digits = F.length(F.regexp_replace(text, r"[^0-9]", ""))
+    uppers = F.length(F.regexp_replace(text, r"[^A-Z]", ""))
+    n_tokens = token_count_whitespace(text)
+    safe_chars = F.greatest(n_chars, F.lit(1)).cast("double")
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    stop_hits = sum(
+        (occurrence_count(padded, f" {m} ") for m in LANG_MARKERS["en"]),
+        F.lit(0),
+    )
+    out = df.withColumns(
+        {
+            "n_chars_m": n_chars,
+            "n_tokens": n_tokens,
+            "n_bpeish_tokens": token_count_bpeish(text),
+            "punct_ratio": (nonpunct / safe_chars),
+            "digit_ratio": (digits / safe_chars),
+            "upper_ratio": (uppers / safe_chars),
+            "mean_token_len": (
+                n_chars.cast("double") / F.greatest(n_tokens, F.lit(1))
+            ),
+            "stopword_hits": stop_hits,
+        }
+    )
+    return out.withColumn(
+        "quality_ok",
+        (F.col("n_tokens") >= 5)
+        & (F.col("punct_ratio") <= 0.3)
+        & (F.col("digit_ratio") <= 0.5),
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: sha256 over casefolded,
+    whitespace-collapsed text — the cheap exact-near-dup key (differs from
+    raw sha only by normalization)."""
+    normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.sha2(normalized, 256)
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(… input cols …, pred_lang) in one narrow pass."""
+    return df.withColumn("pred_lang", detect_language(F.col(text_col)))

@@ -1,0 +1,1246 @@
+"""Driver-contract queries: every operator from SURVEY.md §2 exposed as a
+(spark, sf_dir) -> DataFrame callable with a DuckDB oracle SQL twin.
+
+Parity rules (the driver hash-compares values after sorting columns by
+name):
+* counts cast to BIGINT on both sides;
+* doubles rounded to 6 via round() on both sides, EXCEPT where the double
+  is bitwise-reproducible (dot products via ordered fold in Spark ==
+  DuckDB list_sum(list_transform(...)) — verified empirically);
+* strings built with identical concatenation on both sides;
+* timestamps never returned.
+
+Queries marked oracle=None are genuinely non-SQL-expressible (xxhash64-
+based MinHash/SimHash/LSH have no DuckDB equivalent) — the driver records
+a rows-only check for those and pytest covers their semantics instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from faang_pydantics_validation_spark.checks.drift import chi_square_drift, ks_drift
+from faang_pydantics_validation_spark.checks.column_stats import (
+    column_stats,
+    length_histogram,
+)
+from faang_pydantics_validation_spark.checks.relationships import (
+    allowed_parent_violations,
+    attribute_match_violations,
+    explode_edges,
+    parent_existence_violations,
+    two_cycle_violations,
+)
+from faang_pydantics_validation_spark.checks.uniqueness import duplicate_key_counts
+from faang_pydantics_validation_spark.dims import (
+    DimensionRegistry,
+    label_match_violations,
+    closure_membership_violations,
+    membership_violations,
+)
+from faang_pydantics_validation_spark.engine import ValidationEngine
+from faang_pydantics_validation_spark.ops import dedup as dd
+from faang_pydantics_validation_spark.ops import similarity as sim
+from faang_pydantics_validation_spark.ops import text as tx
+from faang_pydantics_validation_spark.rules import Rule, RuleSet
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _sql_dot(a: str, b: str, dim: int = 64) -> str:
+    """DuckDB ordered-fold dot product — bitwise equal to ops.similarity.dot."""
+    return (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+# ------------------------------------------------------- documents ruleset --
+
+#: ruleset whose rules actually FIRE on the driver's clean documents table
+#: (enum narrowed to 3 langs; source regex demands a single digit).
+def documents_oracle_ruleset() -> RuleSet:
+    return RuleSet(
+        name="documents_oracle",
+        known_fields=("doc_id", "text", "lang", "source", "n_chars"),
+        rules=(
+            Rule("doc_text_required", "text", "required", tier="mandatory"),
+            Rule("doc_lang_required", "lang", "required", tier="mandatory"),
+            Rule(
+                "doc_lang_enum",
+                "lang",
+                "enum",
+                params={"values": ["en", "zh", "es"]},
+                message="lang '{value}' not permitted",
+            ),
+            Rule(
+                "doc_source_format",
+                "source",
+                "regex",
+                params={"pattern": "^src[0-9]$"},
+                message="source '{value}' malformed",
+            ),
+            Rule(
+                "doc_nchars_consistency",
+                "n_chars",
+                "expr",
+                params={
+                    "expression": "n_chars IS NULL OR text IS NULL OR n_chars = length(text)"
+                },
+                message="n_chars mismatch",
+            ),
+            Rule(
+                "doc_short_text",
+                "n_chars",
+                "range",
+                params={"min": 200},
+                severity="warning",
+                message="Short document: {value} chars",
+                layer=2,
+            ),
+        ),
+    )
+
+
+#: SQL predicates mirroring documents_oracle_ruleset, reused across oracles
+_SQL_ENUM_VIOL = "lang IS NOT NULL AND lang NOT IN ('en', 'zh', 'es')"
+_SQL_SRC_VIOL = "source IS NOT NULL AND NOT regexp_matches(source, '^src[0-9]$')"
+_SQL_NCHARS_VIOL = (
+    "NOT COALESCE(n_chars IS NULL OR text IS NULL OR n_chars = length(text), TRUE)"
+)
+_SQL_NERR = (
+    "(CASE WHEN text IS NULL THEN 1 ELSE 0 END"
+    " + CASE WHEN lang IS NULL THEN 1 ELSE 0 END"
+    f" + CASE WHEN {_SQL_ENUM_VIOL} THEN 1 ELSE 0 END"
+    f" + CASE WHEN {_SQL_SRC_VIOL} THEN 1 ELSE 0 END"
+    f" + CASE WHEN {_SQL_NCHARS_VIOL} THEN 1 ELSE 0 END)"
+)
+_SQL_SHORT_WARN = "n_chars IS NOT NULL AND CAST(n_chars AS DOUBLE) < 200"
+
+
+def q_validate_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "documents")
+    out = ValidationEngine(documents_oracle_ruleset()).validate(
+        df, record_id=F.col("doc_id").cast("string")
+    )
+    return out.annotated.select(
+        "record_id",
+        "passed",
+        F.col("n_errors").cast("long").alias("n_errors"),
+        F.col("n_warnings").cast("long").alias("n_warnings"),
+    )
+
+
+SQL_VALIDATE_VERDICTS = f"""
+SELECT CAST(doc_id AS VARCHAR) AS record_id,
+       {_SQL_NERR} = 0 AS passed,
+       CAST({_SQL_NERR} AS BIGINT) AS n_errors,
+       CAST(CASE WHEN {_SQL_NERR} = 0 AND {_SQL_SHORT_WARN} THEN 1 ELSE 0 END AS BIGINT)
+         AS n_warnings
+FROM documents
+"""
+
+
+def q_validate_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "documents")
+    out = ValidationEngine(documents_oracle_ruleset()).validate(
+        df, record_id=F.col("doc_id").cast("string")
+    )
+    return out.violations()
+
+
+SQL_VALIDATE_VIOLATIONS = f"""
+SELECT CAST(doc_id AS VARCHAR) AS record_id, 'doc_lang_enum' AS rule_id,
+       'lang' AS field, 'lang ''' || lang || ''' not permitted' AS message,
+       'error' AS severity
+FROM documents WHERE {_SQL_ENUM_VIOL}
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'doc_source_format', 'source',
+       'source ''' || source || ''' malformed', 'error'
+FROM documents WHERE {_SQL_SRC_VIOL}
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'doc_nchars_consistency', 'n_chars',
+       'n_chars mismatch', 'error'
+FROM documents WHERE {_SQL_NCHARS_VIOL}
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'doc_short_text', 'n_chars',
+       'Short document: ' || CAST(CAST(n_chars AS DOUBLE) AS VARCHAR) || ' chars',
+       'warning'
+FROM documents WHERE {_SQL_NERR} = 0 AND ({_SQL_SHORT_WARN})
+"""
+
+
+def q_validate_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "documents")
+    out = ValidationEngine(documents_oracle_ruleset()).validate(
+        df, record_id=F.col("doc_id").cast("string")
+    )
+    s = out.summary()
+    return s.select(*[F.col(c).cast("long").alias(c) for c in s.columns])
+
+
+SQL_VALIDATE_SUMMARY = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS total,
+       CAST(SUM(CASE WHEN {_SQL_NERR} = 0 THEN 1 ELSE 0 END) AS BIGINT) AS valid,
+       CAST(SUM(CASE WHEN {_SQL_NERR} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS invalid,
+       CAST(SUM(CASE WHEN {_SQL_NERR} = 0 AND ({_SQL_SHORT_WARN}) THEN 1 ELSE 0 END)
+            AS BIGINT) AS warnings
+FROM documents
+"""
+
+
+def q_validate_closed_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2: an undeclared non-null column is one violation per record AND
+    (being a layer-1 structural error) suppresses all layer-2 rules —
+    hence zero doc_short_text warnings in the oracle."""
+    df = _t(spark, sf_dir, "documents").withColumn("undeclared", F.col("source"))
+    out = ValidationEngine(documents_oracle_ruleset()).validate(
+        df, record_id=F.col("doc_id").cast("string")
+    )
+    return (
+        out.violations()
+        .groupBy("rule_id", "severity")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_VALIDATE_CLOSED_SCHEMA = f"""
+SELECT 'extra_forbidden' AS rule_id, 'error' AS severity,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM documents WHERE source IS NOT NULL
+UNION ALL
+SELECT 'doc_lang_enum', 'error', CAST(COUNT(*) AS BIGINT)
+FROM documents WHERE {_SQL_ENUM_VIOL}
+UNION ALL
+SELECT 'doc_source_format', 'error', CAST(COUNT(*) AS BIGINT)
+FROM documents WHERE {_SQL_SRC_VIOL}
+"""
+
+
+# ------------------------------------------------------- rule-kind micros --
+
+
+def _flag(df: DataFrame, rule: Rule) -> DataFrame:
+    """(record_id, violated) through the real compile path — df must carry
+    a string ``rid`` column."""
+    out = ValidationEngine(RuleSet(name=f"micro_{rule.rule_id}", rules=(rule,))).validate(
+        df, record_id="rid"
+    )
+    return out.annotated.select(
+        "record_id", (F.col("n_errors") + F.col("n_warnings") > 0).alias("violated")
+    )
+
+
+def q_rule_required(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "events").select(
+        F.col("event_id").cast("string").alias("rid"),
+        F.when(F.col("event_id") % 7 != 0, F.col("props")).alias("maybe_props"),
+    )
+    return _flag(df, Rule("req_props", "maybe_props", "required", tier="mandatory"))
+
+
+SQL_RULE_REQUIRED = """
+SELECT CAST(event_id AS VARCHAR) AS record_id, event_id % 7 = 0 AS violated
+FROM events
+"""
+
+
+def q_rule_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("rid"), "c_mktsegment"
+    )
+    return _flag(
+        df,
+        Rule(
+            "enum_seg",
+            "c_mktsegment",
+            "enum",
+            params={"values": ["BUILDING", "AUTOMOBILE", "MACHINERY"]},
+        ),
+    )
+
+
+SQL_RULE_ENUM = """
+SELECT CAST(c_custkey AS VARCHAR) AS record_id,
+       c_mktsegment NOT IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY') AS violated
+FROM customer
+"""
+
+
+def q_rule_const(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "region").select(
+        F.col("r_regionkey").cast("string").alias("rid"), "r_name"
+    )
+    return _flag(df, Rule("const_region", "r_name", "const", params={"value": "ASIA"}))
+
+
+SQL_RULE_CONST = """
+SELECT CAST(r_regionkey AS VARCHAR) AS record_id, r_name <> 'ASIA' AS violated
+FROM region
+"""
+
+
+def q_rule_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("string").alias("rid"), "p_brand"
+    )
+    return _flag(
+        df, Rule("regex_brand", "p_brand", "regex", params={"pattern": "^Brand#[0-9]$"})
+    )
+
+
+SQL_RULE_REGEX = """
+SELECT CAST(p_partkey AS VARCHAR) AS record_id,
+       NOT regexp_matches(p_brand, '^Brand#[0-9]$') AS violated
+FROM part
+"""
+
+
+def q_rule_uri(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("rid"),
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("https://example.com/"), F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 3 == 1, F.lit("ftp://archive.example.org/f"))
+        .otherwise(F.lit("gopher://old.example.net"))
+        .alias("url"),
+    )
+    return _flag(
+        df,
+        Rule("uri_url", "url", "uri", params={"schemes": ["http", "https", "ftp", "mailto"]}),
+    )
+
+
+SQL_RULE_URI = """
+SELECT CAST(doc_id AS VARCHAR) AS record_id, doc_id % 3 = 2 AS violated
+FROM documents
+"""
+
+
+def q_rule_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "events").select(
+        F.col("event_id").cast("string").alias("rid"),
+        F.when(F.col("event_id") % 5 == 0, F.lit("x12"))
+        .otherwise(F.col("event_id").cast("string"))
+        .alias("num_str"),
+    )
+    return _flag(df, Rule("num_str", "num_str", "numeric"))
+
+
+SQL_RULE_NUMERIC = """
+SELECT CAST(event_id AS VARCHAR) AS record_id, event_id % 5 = 0 AS violated
+FROM events
+"""
+
+
+def q_rule_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "lineitem").select(
+        F.concat_ws("-", "l_orderkey", "l_linenumber").alias("rid"), "l_quantity"
+    )
+    return _flag(
+        df, Rule("range_qty", "l_quantity", "range", params={"min": 5, "max": 45})
+    )
+
+
+SQL_RULE_RANGE = """
+SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS record_id,
+       l_quantity < 5 OR l_quantity > 45 AS violated
+FROM lineitem
+"""
+
+
+def q_rule_cross_field_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("rid"), "lang", "source"
+    )
+    return _flag(
+        df,
+        Rule(
+            "map_lang_src",
+            "source",
+            "cross_field_map",
+            params={"key_field": "lang", "mapping": {"en": "src1", "zh": "src2"}},
+        ),
+    )
+
+
+SQL_RULE_CROSS_FIELD_MAP = """
+SELECT CAST(doc_id AS VARCHAR) AS record_id,
+       (lang = 'en' AND source <> 'src1') OR (lang = 'zh' AND source <> 'src2')
+         AS violated
+FROM documents
+"""
+
+
+def q_rule_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("string").alias("rid"), "p_type"
+    )
+    return _flag(
+        df,
+        Rule(
+            "prefix_type",
+            "p_type",
+            "prefix",
+            params={"prefixes": ["STANDARD", "SMALL", "ECONOMY"]},
+        ),
+    )
+
+
+SQL_RULE_PREFIX = """
+SELECT CAST(p_partkey AS VARCHAR) AS record_id,
+       NOT (p_type LIKE 'STANDARD%' OR p_type LIKE 'SMALL%' OR p_type LIKE 'ECONOMY%')
+         AS violated
+FROM part
+"""
+
+
+def q_rule_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("string").alias("rid"),
+        F.when(F.col("vec_id") % 10 == 0, F.slice("embedding", 1, 32))
+        .otherwise(F.col("embedding"))
+        .alias("arr"),
+    )
+    return _flag(
+        df, Rule("card_vec", "arr", "cardinality", params={"min": 64, "max": 64})
+    )
+
+
+SQL_RULE_CARDINALITY = """
+SELECT CAST(vec_id AS VARCHAR) AS record_id, vec_id % 10 = 0 AS violated
+FROM embeddings
+"""
+
+
+def q_rule_sentinel_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mv = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit("not applicable"))
+        .when(F.col("doc_id") % 5 == 1, F.lit("not collected"))
+        .when(F.col("doc_id") % 5 == 2, F.lit("not provided"))
+        .when(F.col("doc_id") % 5 == 3, F.lit("restricted access"))
+        .otherwise(F.lit("real value"))
+    )
+    df = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("rid"), mv.alias("mv")
+    )
+    rules = tuple(
+        Rule(f"st_{tier}", "mv", "sentinel_tier", tier=tier)
+        for tier in ("mandatory", "recommended", "optional")
+    )
+    out = ValidationEngine(RuleSet(name="sentinels", rules=rules)).validate(
+        df, record_id="rid"
+    )
+    return (
+        out.violations().groupBy("rule_id", "severity").agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_RULE_SENTINEL_TIER = """
+WITH m AS (
+  SELECT CASE doc_id % 5 WHEN 0 THEN 'not applicable' WHEN 1 THEN 'not collected'
+              WHEN 2 THEN 'not provided' WHEN 3 THEN 'restricted access'
+              ELSE 'real value' END AS mv
+  FROM documents
+), v AS (
+  SELECT 'st_mandatory' AS rule_id,
+         CASE WHEN mv IN ('not applicable', 'not collected', 'not provided')
+              THEN 'error' WHEN mv = 'restricted access' THEN 'warning' END AS severity
+  FROM m
+  UNION ALL
+  SELECT 'st_recommended',
+         CASE WHEN mv IN ('not collected', 'not provided') THEN 'warning' END
+  FROM m
+  UNION ALL
+  SELECT 'st_optional',
+         CASE WHEN mv IN ('not applicable', 'not collected', 'not provided',
+                          'restricted access') THEN 'error' END
+  FROM m
+)
+SELECT rule_id, severity, CAST(COUNT(*) AS BIGINT) AS n
+FROM v WHERE severity IS NOT NULL GROUP BY rule_id, severity
+"""
+
+
+# ------------------------------------------------------------ referential --
+
+
+def q_ref_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: left-anti membership against a broadcast dimension."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    dims = DimensionRegistry()
+    dims.register(
+        "part_dim",
+        _t(spark, sf_dir, "part").filter(F.col("p_size") <= 25),
+        strategy="broadcast",
+    )
+    rule = Rule(
+        "lin_part_known",
+        "l_partkey",
+        "ref",
+        params={"dim": "part_dim", "dim_key": "p_partkey"},
+        message="Part '{value}' not in small-part dimension",
+    )
+    return membership_violations(
+        lineitem, rule, dims, record_id=F.concat_ws("-", "l_orderkey", "l_linenumber")
+    )
+
+
+SQL_REF_MEMBERSHIP = """
+SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS record_id,
+       'lin_part_known' AS rule_id, 'l_partkey' AS field,
+       'Part ''' || CAST(l_partkey AS VARCHAR) || ''' not in small-part dimension'
+         AS message,
+       'error' AS severity
+FROM lineitem
+WHERE l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_size <= 25)
+"""
+
+
+def q_ref_label_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: case-insensitive label match against a term→labels dimension."""
+    nation = _t(spark, sf_dir, "nation")
+    dim = nation.select(
+        F.col("n_nationkey").cast("string").alias("term"),
+        F.array(F.lower("n_name")).alias("labels"),
+    )
+    facts = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "c_custkey",
+            F.col("c_nationkey").cast("string").alias("term"),
+            F.when(F.col("c_custkey") % 4 == 0, F.lit("WrongName"))
+            .otherwise(F.col("n_name"))
+            .alias("disp_name"),
+        )
+    )
+    dims = DimensionRegistry()
+    dims.register("nation_labels", dim, strategy="broadcast")
+    rule = Rule(
+        "lbl_match",
+        "term",
+        "ref",
+        params={
+            "dim": "nation_labels",
+            "term_field": "term",
+            "text_field": "disp_name",
+            "dim_key": "term",
+            "labels_key": "labels",
+        },
+        severity="warning",
+    )
+    return label_match_violations(
+        facts, rule, dims, record_id=F.col("c_custkey").cast("string")
+    )
+
+
+SQL_REF_LABEL_MATCH = """
+SELECT CAST(c_custkey AS VARCHAR) AS record_id, 'lbl_match' AS rule_id,
+       'disp_name' AS field,
+       'Provided value ''WrongName'' doesn''t precisely match ''' || lower(n_name)
+         || ''' for term ''' || CAST(c_nationkey AS VARCHAR) || '''' AS message,
+       'warning' AS severity
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_custkey % 4 = 0
+"""
+
+
+def q_ref_parent_existence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: exploded parent links anti-joined against the id universe."""
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("oid"),
+        F.array(F.col("o_custkey").cast("string")).alias("parents"),
+    )
+    edges = explode_edges(orders, "oid", "parents")
+    batch_ids = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") >= 0)
+        .select(F.col("c_custkey").cast("string").alias("id"))
+    )
+    return parent_existence_violations(
+        edges, batch_ids, rule_id="parent_missing", broadcast_parents=True
+    )
+
+
+SQL_REF_PARENT_EXISTENCE = """
+SELECT CAST(o_orderkey AS VARCHAR) AS record_id, 'parent_missing' AS rule_id,
+       'child_of' AS field,
+       'Relationships part: no entity ''' || CAST(o_custkey AS VARCHAR)
+         || ''' found' AS message,
+       'error' AS severity
+FROM orders
+WHERE CAST(o_custkey AS VARCHAR) NOT IN
+      (SELECT CAST(c_custkey AS VARCHAR) FROM customer WHERE c_acctbal >= 0)
+"""
+
+
+def q_ref_allowed_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: parent's kind must be allowed for the child's kind."""
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("oid"),
+        F.array(F.col("o_custkey").cast("string")).alias("parents"),
+        F.col("o_orderpriority").alias("kind"),
+    )
+    edges = explode_edges(orders, "oid", "parents", keep=("kind",))
+    records = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("id"),
+        F.col("c_mktsegment").alias("kind"),
+    )
+    segs_all = ["BUILDING", "AUTOMOBILE", "MACHINERY", "FURNITURE", "HOUSEHOLD"]
+    segs_strict = ["BUILDING", "AUTOMOBILE", "MACHINERY"]
+    pairs = [
+        (prio, seg)
+        for prio in ("1-URGENT", "2-HIGH")
+        for seg in segs_all
+    ] + [
+        (prio, seg)
+        for prio in ("3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+        for seg in segs_strict
+    ]
+    allowed = spark.createDataFrame(pairs, "child_kind string, parent_kind string")
+    return allowed_parent_violations(edges, records, allowed, rule_id="parent_kind")
+
+
+SQL_REF_ALLOWED_PARENT = """
+SELECT CAST(o_orderkey AS VARCHAR) AS record_id, 'parent_kind' AS rule_id,
+       'child_of' AS field,
+       'Relationships part: referenced entity ''' || CAST(o_custkey AS VARCHAR)
+         || ''' does not match condition ''should be ' || o_orderpriority || ''''
+         AS message,
+       'error' AS severity
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderpriority IN ('3-MEDIUM', '4-NOT SPECIFIED', '5-LOW')
+  AND c_mktsegment IN ('FURNITURE', 'HOUSEHOLD')
+"""
+
+
+def q_ref_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: species→breed-root link + transitive-closure membership, with
+    the no-link error branch (nation 3 excluded from the link dim)."""
+    facts = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").cast("string").alias("species"),
+        F.concat(F.lit("B"), (F.col("c_custkey") % 30).cast("string")).alias("breed"),
+    )
+    link = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_nationkey") != 3)
+        .select(
+            F.col("n_nationkey").cast("string").alias("species_term"),
+            F.concat(F.lit("R"), F.col("n_regionkey").cast("string")).alias(
+                "breed_root"
+            ),
+        )
+    )
+    closure_rows = [
+        (f"R{r}", f"B{b}") for r in range(5) for b in range(5 * r + 10)
+    ]
+    closure = spark.createDataFrame(closure_rows, "root string, descendant string")
+    dims = DimensionRegistry()
+    dims.register("species_breed", link, strategy="broadcast")
+    dims.register("breed_closure", closure, strategy="broadcast")
+    rule = Rule(
+        "breed_link",
+        "breed",
+        "ref",
+        params={
+            "link_dim": "species_breed",
+            "closure_dim": "breed_closure",
+            "species_field": "species",
+            "breed_field": "breed",
+        },
+    )
+    return closure_membership_violations(
+        facts, rule, dims, record_id=F.col("c_custkey").cast("string")
+    )
+
+
+SQL_REF_CLOSURE = """
+WITH f AS (
+  SELECT c_custkey, CAST(c_nationkey AS VARCHAR) AS species,
+         'B' || CAST(c_custkey % 30 AS VARCHAR) AS breed,
+         c_custkey % 30 AS b, n_regionkey AS r,
+         c_nationkey = 3 AS no_link
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+)
+SELECT CAST(c_custkey AS VARCHAR) AS record_id, 'breed_link' AS rule_id,
+       'breed' AS field,
+       'Organism ''' || species || ''' has no defined breed links.' AS message,
+       'error' AS severity
+FROM f WHERE no_link
+UNION ALL
+SELECT CAST(c_custkey AS VARCHAR), 'breed_link', 'breed',
+       'Breed ''' || breed || ''' doesn''t match the animal specie: ''' || species
+         || '''',
+       'error'
+FROM f WHERE NOT no_link AND b >= 5 * r + 10
+"""
+
+
+# ------------------------------------------------------------ cross-record --
+
+
+def q_xrec_species_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1: child attribute must equal parent attribute across the edge."""
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("oid"),
+        F.array(F.col("o_custkey").cast("string")).alias("parents"),
+        (F.col("o_orderkey") % 25).cast("string").alias("attr"),
+    )
+    edges = explode_edges(orders, "oid", "parents", keep=("attr",))
+    records = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("id"),
+        F.col("c_nationkey").cast("string").alias("attr"),
+    )
+    return attribute_match_violations(edges, records, "attr", rule_id="species_mismatch")
+
+
+SQL_XREC_SPECIES_MATCH = """
+SELECT CAST(o_orderkey AS VARCHAR) AS record_id, 'species_mismatch' AS rule_id,
+       'organism' AS field,
+       'Relationships part: the specie of the child ''' ||
+         CAST(o_orderkey % 25 AS VARCHAR) ||
+         ''' doesn''t match the specie of the parent ''' ||
+         CAST(c_nationkey AS VARCHAR) || '''' AS message,
+       'error' AS severity
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE CAST(o_orderkey % 25 AS VARCHAR) <> CAST(c_nationkey AS VARCHAR)
+"""
+
+
+def q_xrec_cycle_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2: 2-cycle detection on a derived functional graph."""
+    edges = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            (F.col("o_orderkey") % 100).cast("string").alias("child_id"),
+            ((F.col("o_orderkey") * 7) % 100).cast("string").alias("parent_id"),
+        )
+        .distinct()
+    )
+    return two_cycle_violations(edges, rule_id="circular")
+
+
+SQL_XREC_CYCLE_2HOP = """
+WITH e AS (
+  SELECT DISTINCT CAST(o_orderkey % 100 AS VARCHAR) AS child_id,
+         CAST((o_orderkey * 7) % 100 AS VARCHAR) AS parent_id
+  FROM orders
+)
+SELECT a.child_id AS record_id, 'circular' AS rule_id, 'child_of' AS field,
+       'Relationships part: circular relationship detected between ''' ||
+         a.child_id || ''' and ''' || a.parent_id || '''' AS message,
+       'error' AS severity
+FROM e a JOIN e b ON a.parent_id = b.child_id AND a.child_id = b.parent_id
+"""
+
+
+def q_xrec_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3: salted two-stage duplicate-key counts."""
+    return duplicate_key_counts(
+        _t(spark, sf_dir, "lineitem"), keys=["l_partkey", "l_suppkey"]
+    )
+
+
+SQL_XREC_UNIQUENESS = """
+SELECT l_partkey, l_suppkey, CAST(COUNT(*) AS BIGINT) AS dup_count
+FROM lineitem GROUP BY l_partkey, l_suppkey HAVING COUNT(*) > 1
+"""
+
+
+# ------------------------------------------------------------------- stats --
+
+
+def q_stats_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = column_stats(
+        _t(spark, sf_dir, "documents"),
+        columns=["lang", "source", "n_chars"],
+        exact_distinct=True,
+    )
+    return s.select(
+        F.col("column").alias("col_name"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("null_count").cast("long").alias("null_count"),
+        F.round("null_rate", 6).alias("null_rate"),
+        F.col("distinct_count").cast("long").alias("distinct_count"),
+        F.col("min").alias("min_val"),
+        F.col("max").alias("max_val"),
+        F.round("avg_len", 6).alias("avg_len"),
+        F.col("max_len").cast("long").alias("max_len"),
+    )
+
+
+def _sql_one_col_stats(col: str, is_string: bool) -> str:
+    avg_len = (
+        f"round(AVG(length({col})), 6)" if is_string else "CAST(NULL AS DOUBLE)"
+    )
+    max_len = (
+        f"CAST(MAX(length({col})) AS BIGINT)" if is_string else "CAST(NULL AS BIGINT)"
+    )
+    return f"""
+SELECT '{col}' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count,
+       round(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) / COUNT(*), 6) AS null_rate,
+       CAST(COUNT(DISTINCT {col}) AS BIGINT) AS distinct_count,
+       CAST(MIN({col}) AS VARCHAR) AS min_val, CAST(MAX({col}) AS VARCHAR) AS max_val,
+       {avg_len} AS avg_len, {max_len} AS max_len
+FROM documents"""
+
+
+SQL_STATS_COLUMNS = (
+    _sql_one_col_stats("lang", True)
+    + "\nUNION ALL"
+    + _sql_one_col_stats("source", True)
+    + "\nUNION ALL"
+    + _sql_one_col_stats("n_chars", False)
+)
+
+
+def q_stats_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return length_histogram(_t(spark, sf_dir, "documents"), "text", 64)
+
+
+SQL_STATS_LENGTH_HISTOGRAM = """
+SELECT CAST(FLOOR(length(text) / 64) * 64 AS BIGINT) AS bucket_start,
+       CAST(FLOOR(length(text) / 64) * 64 + 64 AS BIGINT) AS bucket_end,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM documents WHERE text IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+def q_drift_chisquare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = chi_square_drift(
+        docs.filter(F.col("n_chars") < 200),
+        docs.filter(F.col("n_chars") >= 200),
+        "lang",
+    )
+    return out.select(
+        F.round("statistic", 6).alias("statistic"),
+        F.col("dof").cast("long").alias("dof"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+    )
+
+
+SQL_DRIFT_CHISQUARE = """
+WITH a AS (SELECT lang AS cat, COUNT(*) AS n_a FROM documents
+           WHERE n_chars < 200 GROUP BY lang),
+     b AS (SELECT lang AS cat, COUNT(*) AS n_b FROM documents
+           WHERE n_chars >= 200 GROUP BY lang),
+     j AS (SELECT COALESCE(a.cat, b.cat) AS cat, COALESCE(n_a, 0) AS n_a,
+                  COALESCE(n_b, 0) AS n_b
+           FROM a FULL OUTER JOIN b ON a.cat = b.cat),
+     t AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM j)
+SELECT round(SUM(
+         CASE WHEN (n_a + n_b) * ta / (ta + tb) > 0
+              THEN pow(n_a - (n_a + n_b) * ta / (ta + tb), 2)
+                   / ((n_a + n_b) * ta / (ta + tb)) ELSE 0 END
+         + CASE WHEN (n_a + n_b) * tb / (ta + tb) > 0
+                THEN pow(n_b - (n_a + n_b) * tb / (ta + tb), 2)
+                     / ((n_a + n_b) * tb / (ta + tb)) ELSE 0 END), 6) AS statistic,
+       CAST(COUNT(*) - 1 AS BIGINT) AS dof,
+       CAST(MIN(ta) AS BIGINT) AS n_a, CAST(MIN(tb) AS BIGINT) AS n_b
+FROM j, t
+"""
+
+
+def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = ks_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "n_chars",
+        n_buckets=32,
+    )
+    return out.select(
+        F.round("ks_statistic", 6).alias("ks_statistic"),
+        F.col("n_buckets").cast("int").alias("n_buckets"),
+    )
+
+
+SQL_DRIFT_KS = """
+WITH span AS (SELECT CAST(MIN(n_chars) AS DOUBLE) AS lo,
+                     CAST(MAX(n_chars) AS DOUBLE) AS hi FROM documents),
+     d AS (SELECT doc_id, LEAST(31, CAST(FLOOR((CAST(n_chars AS DOUBLE) - lo)
+                / (hi - lo) * 32) AS INT)) AS bucket
+           FROM documents, span WHERE n_chars IS NOT NULL),
+     m AS (SELECT bucket,
+                  SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
+                  SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS n_b
+           FROM d GROUP BY bucket),
+     c AS (SELECT bucket, SUM(n_a) OVER (ORDER BY bucket) AS ca,
+                  SUM(n_b) OVER (ORDER BY bucket) AS cb FROM m),
+     t AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM m)
+SELECT round(MAX(ABS(CAST(ca AS DOUBLE) / ta - CAST(cb AS DOUBLE) / tb)), 6)
+         AS ks_statistic,
+       CAST(32 AS INT) AS n_buckets
+FROM c, t
+"""
+
+
+# ------------------------------------------------------------------- dedup --
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.exact_dedup(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+SQL_DEDUP_EXACT = """
+SELECT sha256(text) AS content_hash, CAST(MIN(doc_id) AS BIGINT) AS doc_id
+FROM documents GROUP BY sha256(text)
+"""
+
+
+def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ exact copies of every 5th doc (ids offset by 10000)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(copies)
+
+
+def q_dedup_exact_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = dd.exact_duplicates(_augmented_docs(spark, sf_dir), "doc_id", "text")
+    return out.select(
+        "content_hash",
+        F.col("n_copies").cast("long").alias("n_copies"),
+        F.col("keep_id").cast("long").alias("keep_id"),
+    )
+
+
+SQL_DEDUP_EXACT_DUPLICATES = """
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 5 = 0
+)
+SELECT sha256(text) AS content_hash, CAST(COUNT(*) AS BIGINT) AS n_copies,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_id
+FROM aug GROUP BY sha256(text) HAVING COUNT(*) > 1
+"""
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (xxhash64 — no DuckDB twin; rows-only)."""
+    return dd.minhash_dedup_pairs(
+        _augmented_docs(spark, sf_dir), "doc_id", "text", num_perm=64, bands=16,
+        threshold=0.7,
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (xxhash64 — no DuckDB twin; rows-only)."""
+    return dd.simhash_candidates(
+        _augmented_docs(spark, sf_dir), "doc_id", "text", max_hamming=3, bands=4
+    )
+
+
+def q_text_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-gram Jaccard on adjacent-id pairs."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
+    pairs = a.join(b, F.col("id_b") == F.col("id_a") + 1)
+    out = pairs.withColumn(
+        "jaccard",
+        dd.jaccard(
+            dd.word_shingles(F.col("text_a"), 1), dd.word_shingles(F.col("text_b"), 1)
+        ),
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+SQL_TEXT_JACCARD_PAIRS = """
+WITH toks AS (
+  SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS tk
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.tk, b.tk)) /
+             (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))), 6) AS jaccard
+FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1
+"""
+
+
+# -------------------------------------------------------------------- text --
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = tx.quality_metrics(_t(spark, sf_dir, "documents"), "text")
+    return out.select(
+        F.col("doc_id").cast("string").alias("record_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_bpeish_tokens").cast("long").alias("n_bpeish_tokens"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("digit_ratio", 6).alias("digit_ratio"),
+        F.round("upper_ratio", 6).alias("upper_ratio"),
+        F.round("mean_token_len", 6).alias("mean_token_len"),
+        F.col("stopword_hits").cast("long").alias("stopword_hits"),
+        F.col("quality_ok"),
+    )
+
+
+SQL_TEXT_QUALITY = r"""
+WITH q AS (
+  SELECT doc_id, text, length(text) AS nc,
+         len(string_split_regex(trim(text), '\s+')) AS nt,
+         ' ' || text || ' ' AS p
+  FROM documents
+)
+SELECT CAST(doc_id AS VARCHAR) AS record_id,
+       CAST(nt AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^\sA-Za-z0-9_]'))
+            AS BIGINT) AS n_bpeish_tokens,
+       round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+             / GREATEST(nc, 1), 6) AS punct_ratio,
+       round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+             / GREATEST(nc, 1), 6) AS digit_ratio,
+       round(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+             / GREATEST(nc, 1), 6) AS upper_ratio,
+       round(CAST(nc AS DOUBLE) / GREATEST(nt, 1), 6) AS mean_token_len,
+       CAST(CAST((length(p) - length(replace(p, ' the ', ''))) / 5 AS INT)
+            + CAST((length(p) - length(replace(p, ' and ', ''))) / 5 AS INT)
+            + CAST((length(p) - length(replace(p, ' of ', ''))) / 4 AS INT)
+            AS BIGINT) AS stopword_hits,
+       nt >= 5
+         AND length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / GREATEST(nc, 1) <= 0.3
+         AND length(regexp_replace(text, '[^0-9]', '', 'g')) / GREATEST(nc, 1) <= 0.5
+         AS quality_ok
+FROM q
+"""
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = tx.language_id(_t(spark, sf_dir, "documents"), "text")
+    return out.select(F.col("doc_id").cast("string").alias("record_id"), "pred_lang")
+
+
+def _sql_lang_score(markers: tuple[str, ...]) -> str:
+    terms = [
+        f"CAST((length(p) - length(replace(p, ' {m} ', ''))) / {len(m) + 2} AS INT)"
+        for m in markers
+    ]
+    return " + ".join(terms)
+
+
+SQL_TEXT_LANGID = f"""
+WITH s AS (
+  SELECT doc_id,
+         {_sql_lang_score(tx.LANG_MARKERS['en'])} AS s_en,
+         {_sql_lang_score(tx.LANG_MARKERS['es'])} AS s_es,
+         {_sql_lang_score(tx.LANG_MARKERS['de'])} AS s_de,
+         {_sql_lang_score(tx.LANG_MARKERS['fr'])} AS s_fr,
+         {_sql_lang_score(tx.LANG_MARKERS['zh'])} AS s_zh
+  FROM (SELECT doc_id, ' ' || text || ' ' AS p FROM documents)
+)
+SELECT CAST(doc_id AS VARCHAR) AS record_id,
+       CASE WHEN s_en > 0 AND s_en = GREATEST(s_en, s_es, s_de, s_fr, s_zh) THEN 'en'
+            WHEN s_es > 0 AND s_es = GREATEST(s_en, s_es, s_de, s_fr, s_zh) THEN 'es'
+            WHEN s_de > 0 AND s_de = GREATEST(s_en, s_es, s_de, s_fr, s_zh) THEN 'de'
+            WHEN s_fr > 0 AND s_fr = GREATEST(s_en, s_es, s_de, s_fr, s_zh) THEN 'fr'
+            WHEN s_zh > 0 AND s_zh = GREATEST(s_en, s_es, s_de, s_fr, s_zh) THEN 'zh'
+            ELSE 'und' END AS pred_lang
+FROM s
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "documents")
+    return df.select(
+        F.col("doc_id").cast("string").alias("record_id"),
+        tx.fingerprint(F.col("text")).alias("fingerprint"),
+    )
+
+
+SQL_TEXT_FINGERPRINT = r"""
+SELECT CAST(doc_id AS VARCHAR) AS record_id,
+       sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+FROM documents
+"""
+
+
+# -------------------------------------------------------------- similarity --
+
+
+def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for every 50th vector; ranking on the
+    ROUNDED score (6dp) with id tie-break so Spark and DuckDB order
+    identically even at float boundaries."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") % 50 == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        )
+    )
+    scored = (
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+        .crossJoin(q)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(sim.cosine(F.col("qv"), F.col("cv")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id", "score", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+SQL_SIM_COSINE_TOPK = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id % 50 = 0),
+     s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                  round({_sql_dot('q.qv', 'e.embedding')}
+                        / (sqrt({_sql_dot('q.qv', 'q.qv')})
+                           * sqrt({_sql_dot('e.embedding', 'e.embedding')})), 6)
+                    AS score
+           FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+     r AS (SELECT query_id, neighbor_id, score,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, neighbor_id) AS INT) AS rank
+           FROM s)
+SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 10
+"""
+
+
+def q_sim_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (xxhash64 planes; rows-only check)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return sim.cosine_topk_lsh(emb, queries, dim=64, k=10, n_planes=6)
+
+
+def q_sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via LSH buckets (rows-only check).
+    Corpus is augmented with exact copies of every 10th vector so true
+    near-dups exist (random embeddings are otherwise never cosine>0.8)."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    return sim.embedding_near_dup_pairs(
+        emb.unionByName(copies), dim=64, threshold=0.8, n_planes=6
+    )
+
+
+# -------------------------------------------------------------- multimodal --
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: text→bytes, byte length + sha256 digest
+    computed over the BINARY column (no decode; metadata pass only)."""
+    df = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("sample_id"),
+        F.lit("text").alias("modality"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    return df.select(
+        "sample_id",
+        "modality",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.sha2("payload", 256).alias("payload_sha256"),
+    )
+
+
+SQL_MULTIMODAL_META = """
+SELECT CAST(doc_id AS VARCHAR) AS sample_id, 'text' AS modality,
+       CAST(strlen(text) AS BIGINT) AS n_bytes, sha256(text) AS payload_sha256
+FROM documents
+"""
+
+
+# --------------------------------------------------------------- registry --
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "validate_verdicts": q_validate_verdicts,
+    "validate_violations": q_validate_violations,
+    "validate_summary": q_validate_summary,
+    "validate_closed_schema": q_validate_closed_schema,
+    "rule_required": q_rule_required,
+    "rule_enum": q_rule_enum,
+    "rule_const": q_rule_const,
+    "rule_regex": q_rule_regex,
+    "rule_uri": q_rule_uri,
+    "rule_numeric": q_rule_numeric,
+    "rule_range": q_rule_range,
+    "rule_cross_field_map": q_rule_cross_field_map,
+    "rule_prefix": q_rule_prefix,
+    "rule_cardinality": q_rule_cardinality,
+    "rule_sentinel_tier": q_rule_sentinel_tier,
+    "ref_membership": q_ref_membership,
+    "ref_label_match": q_ref_label_match,
+    "ref_parent_existence": q_ref_parent_existence,
+    "ref_allowed_parent": q_ref_allowed_parent,
+    "ref_closure": q_ref_closure,
+    "xrec_species_match": q_xrec_species_match,
+    "xrec_cycle_2hop": q_xrec_cycle_2hop,
+    "xrec_uniqueness": q_xrec_uniqueness,
+    "stats_columns": q_stats_columns,
+    "stats_length_histogram": q_stats_length_histogram,
+    "drift_chisquare": q_drift_chisquare,
+    "drift_ks": q_drift_ks,
+    "dedup_exact": q_dedup_exact,
+    "dedup_exact_duplicates": q_dedup_exact_duplicates,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "text_jaccard_pairs": q_text_jaccard_pairs,
+    "text_quality": q_text_quality,
+    "text_langid": q_text_langid,
+    "text_fingerprint": q_text_fingerprint,
+    "sim_cosine_topk": q_sim_cosine_topk,
+    "sim_cosine_topk_lsh": q_sim_cosine_topk_lsh,
+    "sim_embedding_neardup": q_sim_embedding_neardup,
+    "multimodal_meta": q_multimodal_meta,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "validate_verdicts": SQL_VALIDATE_VERDICTS,
+    "validate_violations": SQL_VALIDATE_VIOLATIONS,
+    "validate_summary": SQL_VALIDATE_SUMMARY,
+    "validate_closed_schema": SQL_VALIDATE_CLOSED_SCHEMA,
+    "rule_required": SQL_RULE_REQUIRED,
+    "rule_enum": SQL_RULE_ENUM,
+    "rule_const": SQL_RULE_CONST,
+    "rule_regex": SQL_RULE_REGEX,
+    "rule_uri": SQL_RULE_URI,
+    "rule_numeric": SQL_RULE_NUMERIC,
+    "rule_range": SQL_RULE_RANGE,
+    "rule_cross_field_map": SQL_RULE_CROSS_FIELD_MAP,
+    "rule_prefix": SQL_RULE_PREFIX,
+    "rule_cardinality": SQL_RULE_CARDINALITY,
+    "rule_sentinel_tier": SQL_RULE_SENTINEL_TIER,
+    "ref_membership": SQL_REF_MEMBERSHIP,
+    "ref_label_match": SQL_REF_LABEL_MATCH,
+    "ref_parent_existence": SQL_REF_PARENT_EXISTENCE,
+    "ref_allowed_parent": SQL_REF_ALLOWED_PARENT,
+    "ref_closure": SQL_REF_CLOSURE,
+    "xrec_species_match": SQL_XREC_SPECIES_MATCH,
+    "xrec_cycle_2hop": SQL_XREC_CYCLE_2HOP,
+    "xrec_uniqueness": SQL_XREC_UNIQUENESS,
+    "stats_columns": SQL_STATS_COLUMNS,
+    "stats_length_histogram": SQL_STATS_LENGTH_HISTOGRAM,
+    "drift_chisquare": SQL_DRIFT_CHISQUARE,
+    "drift_ks": SQL_DRIFT_KS,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_exact_duplicates": SQL_DEDUP_EXACT_DUPLICATES,
+    "text_jaccard_pairs": SQL_TEXT_JACCARD_PAIRS,
+    "text_quality": SQL_TEXT_QUALITY,
+    "text_langid": SQL_TEXT_LANGID,
+    "text_fingerprint": SQL_TEXT_FINGERPRINT,
+    "sim_cosine_topk": SQL_SIM_COSINE_TOPK,
+    "multimodal_meta": SQL_MULTIMODAL_META,
+}

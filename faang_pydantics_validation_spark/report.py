@@ -1,0 +1,135 @@
+"""Report + export layer — A3/A4 and P1-P3 from SURVEY.md §2.5-2.6.
+
+The heavy lifting (ordering, grouping, reshaping) is DataFrame work; only
+the final human-readable rendering collects — and it collects the already
+reduced violation rows, never the input table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PURL_PREFIX = "http://purl.obolibrary.org/obo/"
+
+
+def purl(term_col) -> F.Column:
+    """P1: ontology term → PURL URL (reference organism_validation.py:274:
+    ``"http://purl.obolibrary.org/obo/" + term.replace(':', '_')``)."""
+    return F.concat(F.lit(PURL_PREFIX), F.translate(term_col, ":", "_"))
+
+
+def ordered_violations(violations: DataFrame) -> DataFrame:
+    """A3: deterministic report ordering — record, then field, then rule
+    (reference iterates insertion order of field_errors,
+    organism_validation.py:310-345; we pin a total order)."""
+    return violations.orderBy("record_id", "field", "rule_id", "message")
+
+
+def validation_report(
+    violations: DataFrame, verdicts: DataFrame, max_records: int = 1000
+) -> str:
+    """Render the reference-shaped plain-text report
+    (organism_validation.py:310-345): summary counters, then invalid
+    records with their field errors, then a warnings section.
+
+    Driver-side collect happens AFTER the reduction to violation rows and
+    is capped at ``max_records`` — a report over 10^12 rows collects only
+    the (bounded) broken subset.
+    """
+    summary = verdicts.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.col("passed").cast("int")).alias("valid"),
+        F.sum((~F.col("passed")).cast("int")).alias("invalid"),
+        F.sum((F.col("passed") & (F.col("n_warnings") > 0)).cast("int")).alias(
+            "warnings"
+        ),
+    ).collect()[0]
+
+    rows = (
+        ordered_violations(violations)
+        .limit(max_records * 8)
+        .collect()
+    )
+
+    lines = [
+        "=" * 60,
+        "VALIDATION REPORT",
+        "=" * 60,
+        f"Total records: {summary.total}",
+        f"Valid records: {summary.valid}",
+        f"Invalid records: {summary.invalid}",
+        f"Records with warnings: {summary.warnings}",
+        "",
+    ]
+    errors = [r for r in rows if r.severity == "error"]
+    warns = [r for r in rows if r.severity == "warning"]
+    if errors:
+        lines.append("ERRORS:")
+        current = None
+        for r in errors:
+            if r.record_id != current:
+                current = r.record_id
+                lines.append(f"  Record '{r.record_id}':")
+            lines.append(f"    - {r.field}: {r.message}")
+        lines.append("")
+    if warns:
+        lines.append("WARNINGS:")
+        current = None
+        for r in warns:
+            if r.record_id != current:
+                current = r.record_id
+                lines.append(f"  Record '{r.record_id}':")
+            lines.append(f"    - {r.field}: {r.message}")
+        lines.append("")
+    status = "Fix issues" if summary.invalid and summary.invalid > 0 else "Ready for submission"
+    lines.append(f"Submission status: {status}")
+    return "\n".join(lines)
+
+
+def export_biosample_format(
+    df: DataFrame,
+    name_col: str = "record_id",
+    material_text: str = "material.text",
+    material_term: str = "material.term",
+    organism_text: str = "organism.text",
+    organism_term: str = "organism.term",
+    parents_col: str | None = "child_of",
+) -> DataFrame:
+    """P2+P3: reshape flat validated records into the BioSamples submission
+    shape (reference export_organism_to_biosample_format,
+    organism_validation.py:267-307): characteristics arrays-of-structs with
+    PURL ontologyTerms, plus conditional ``relationships``.
+
+    Pure projection — narrow, zero shuffle.
+    """
+    def char(text_col: str, term_col: str):
+        return F.array(
+            F.struct(
+                F.col(text_col).alias("text"),
+                F.array(purl(F.col(term_col))).alias("ontologyTerms"),
+            )
+        )
+
+    cols = [
+        F.col(name_col).alias("name"),
+        F.struct(
+            char(material_text, material_term).alias("material"),
+            char(organism_text, organism_term).alias("organism"),
+        ).alias("characteristics"),
+    ]
+    if parents_col is not None:
+        dt = dict(df.dtypes).get(parents_col, "")
+        elem = (lambda x: x["value"]) if dt.startswith("array<struct") else (lambda x: x)
+        cols.append(
+            F.when(
+                F.col(parents_col).isNotNull() & (F.size(parents_col) > 0),
+                F.transform(
+                    F.col(parents_col),
+                    lambda x: F.struct(
+                        F.lit("child of").alias("type"), elem(x).alias("target")
+                    ),
+                ),
+            ).alias("relationships")
+        )
+    return df.select(*cols)
