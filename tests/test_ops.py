@@ -1,0 +1,163 @@
+"""Training-pipeline ops: dedup (exact / MinHash / SimHash / Jaccard),
+similarity (brute vs LSH recall), text analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from faang_pydantics_validation_spark.ops import dedup as dd
+from faang_pydantics_validation_spark.ops import multimodal as mm
+from faang_pydantics_validation_spark.ops import similarity as sim
+from faang_pydantics_validation_spark.ops import text as tx
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (4, "completely different content about spark engines"),
+        (5, "numbers 123 456 and punctuation!!! ok?"),
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    groups = dd.exact_duplicates(docs, "doc_id", "text").collect()
+    assert len(groups) == 1
+    assert groups[0].n_copies == 2 and groups[0].keep_id == 1
+    kept = {r.doc_id for r in dd.exact_dedup(docs, "doc_id", "text").collect()}
+    assert kept == {1, 2, 4, 5, 6}
+
+
+def test_jaccard_shingles(spark, docs):
+    pair = docs.filter(F.col("doc_id") == 1).crossJoin(
+        docs.filter(F.col("doc_id") == 2).select(F.col("text").alias("text_b"))
+    )
+    j = pair.select(
+        dd.jaccard(
+            dd.word_shingles(F.col("text"), 1), dd.word_shingles(F.col("text_b"), 1)
+        ).alias("j")
+    ).collect()[0].j
+    # token sets differ only in dog/cat: |∩|=7, |∪|=9
+    assert abs(j - 7 / 9) < 1e-9
+
+
+def test_minhash_finds_near_dups(spark, docs):
+    pairs = dd.minhash_dedup_pairs(
+        docs, "doc_id", "text", num_perm=64, bands=16, threshold=0.5
+    ).collect()
+    got = {(p.id_a, p.id_b) for p in pairs}
+    assert (1, 3) in got  # exact dup always collides
+    assert (1, 2) in got or (2, 3) in got  # near-dup found
+    assert all({a, b} != {4, 5} for a, b in got)  # unrelated docs never pair
+
+
+def test_minhash_bucket_cap(spark):
+    same = spark.createDataFrame(
+        [(i, "identical text body for everyone") for i in range(50)],
+        "doc_id long, text string",
+    )
+    capped = dd.minhash_candidates(same, "doc_id", "text", max_bucket_size=10)
+    assert capped.count() == 0  # oversized template-bucket dropped
+    uncapped = dd.minhash_candidates(same, "doc_id", "text", max_bucket_size=None)
+    assert uncapped.count() == 50 * 49 // 2
+
+
+def test_simhash(spark, docs):
+    sh = {r.doc_id: r.simhash for r in dd.with_simhash(docs, "doc_id", "text").collect()}
+    assert sh[1] == sh[3]  # identical text → identical fingerprint
+    ham_near = bin((sh[1] ^ sh[2]) & (2**64 - 1)).count("1")
+    ham_far = bin((sh[1] ^ sh[4]) & (2**64 - 1)).count("1")
+    assert ham_near < ham_far  # near-dup closer than unrelated
+    pairs = dd.simhash_candidates(
+        docs, "doc_id", "text", max_hamming=ham_near, bands=4
+    ).collect()
+    assert (1, 3) in {(p.id_a, p.id_b) for p in pairs}
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import math
+
+    rows = []
+    for i in range(40):
+        angle = (i % 8) / 8 * math.pi
+        base = [math.cos(angle), math.sin(angle)] + [0.0] * 6
+        rows.append((i, [v + 0.001 * (i % 3) for v in base]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_exact(spark, vectors):
+    qs = vectors.filter(F.col("vec_id") == 0)
+    out = sim.cosine_topk(vectors, qs, k=5).collect()
+    assert len(out) == 5
+    assert [r.rank for r in out] == [1, 2, 3, 4, 5]
+    # same-angle vectors (ids ≡ 0 mod 8) must dominate the top ranks
+    top_ids = {r.neighbor_id for r in out if r.rank <= 3}
+    assert all(i % 8 == 0 for i in top_ids)
+    assert out[0].score > 0.999999
+
+
+def test_lsh_topk_is_subset_scored_identically(spark, vectors):
+    qs = vectors.filter(F.col("vec_id") == 0)
+    exact = {
+        r.neighbor_id: r.score
+        for r in sim.cosine_topk(vectors, qs, k=40).collect()
+    }
+    approx = sim.cosine_topk_lsh(vectors, qs, dim=8, k=5, n_planes=4).collect()
+    assert approx  # bucket contains at least the exact-duplicate directions
+    for r in approx:
+        assert abs(exact[r.neighbor_id] - r.score) < 1e-9
+
+
+def test_embedding_near_dup(spark, vectors):
+    pairs = sim.embedding_near_dup_pairs(vectors, dim=8, threshold=0.999, n_planes=3)
+    got = pairs.collect()
+    assert got, "same-direction vectors must be found"
+    assert all(p.score >= 0.999 for p in got)
+
+
+def test_text_quality_and_langid(spark, docs):
+    out = {r.doc_id: r for r in tx.quality_metrics(docs, "text").collect()}
+    assert out[1].n_tokens == 9
+    assert out[6].n_tokens == 0
+    assert out[5].digit_ratio > 0
+    assert out[1].quality_ok
+    langs = {r.doc_id: r.pred_lang for r in tx.language_id(docs, "text").collect()}
+    assert langs[1] == "en"  # ' the ' markers hit
+    assert langs[6] == "und"
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "different")],
+        "doc_id long, text string",
+    )
+    fps = {
+        r.doc_id: r.fp
+        for r in df.select("doc_id", tx.fingerprint(F.col("text")).alias("fp")).collect()
+    }
+    assert fps[1] == fps[2] != fps[3]
+
+
+def test_multimodal_roundtrip(spark):
+    media = mm.synthetic_media(spark, 20)
+    meta = mm.payload_metadata(media).collect()
+    assert all(m.n_bytes == 32 for m in meta)  # 64 hex chars → 32 bytes
+    mm.set_decoder("image", mm.deterministic_fake_decoder(4))
+    feats = mm.extract_features(media).collect()
+    assert len(feats) == 20
+    assert all(len(f.feature) == 4 for f in feats)
+    by_id = {m.sample_id: m.payload_sha256 for m in meta}
+    for f in feats:
+        assert f.payload_sha256 == by_id[f.sample_id]  # no payload mutation
+
+
+def test_multimodal_missing_decoder_raises(spark):
+    media = mm.synthetic_media(spark, 3, modality="audio_unregistered")
+    with pytest.raises(Exception, match="no decoder registered"):
+        mm.extract_features(media).collect()
