@@ -1,0 +1,334 @@
+"""The reference's organism ruleset, re-expressed in this engine's rule IR.
+
+This is the domain-parity layer: a user of
+yroochun/faang-pydantics-validation validates FAANG organism submissions;
+this module gives the same rules over a DataFrame of organism records so
+that user can switch engines. Every rule cites the reference lines it
+mirrors (rulesets: /root/reference/app/rulesets_pydantics/
+organism_ruleset.py + standard_ruleset.py; post-parse checks:
+app/organism_validation.py:86-129; severity tiers: the `mandatory`
+annotations in app/rulesets-json/faang_samples_organism.metadata_rules.json).
+
+Record shape (SURVEY.md §1.2): every attribute is a micro-struct —
+{value}, {value, units} or {text, term, ontology_name} — arrays for
+health_status/child_of, and the record id lives at
+custom.sample_name.value (organism_ruleset.py:204-209).
+
+Layering matches the reference lifecycle (organism_validation.py:19-84):
+layer 1 = the Pydantic-parse analog (types, enums, formats, cardinality);
+layer 2 = the post-parse layers (recommended-field warnings + ontology
+prefix checks), which the reference only runs when the parse succeeded
+(:46 short-circuit) — our engine gates layer 2 on zero layer-1 errors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from faang_pydantics_validation_spark.rules import Rule, RuleSet, SENTINELS
+
+#: DDL schema for one organism record (explicit — never inferSchema)
+ORGANISM_SCHEMA = """
+    custom struct<sample_name: struct<value: string>>,
+    material struct<text: string, term: string, ontology_name: string>,
+    project struct<value: string>,
+    secondary_project array<struct<value: string>>,
+    organism struct<text: string, term: string, ontology_name: string>,
+    sex struct<text: string, term: string, ontology_name: string>,
+    birth_date struct<value: string, units: string>,
+    breed struct<text: string, term: string, ontology_name: string>,
+    health_status array<struct<text: string, term: string, ontology_name: string>>,
+    diet struct<value: string>,
+    birth_location struct<value: string>,
+    birth_location_latitude struct<value: string, units: string>,
+    birth_location_longitude struct<value: string, units: string>,
+    birth_weight struct<value: string, units: string>,
+    placental_weight struct<value: string, units: string>,
+    pregnancy_length struct<value: string, units: string>,
+    delivery_timing struct<value: string>,
+    delivery_ease struct<value: string>,
+    pedigree struct<value: string>,
+    child_of array<struct<value: string>>,
+    availability struct<value: string>
+"""
+
+#: Material text enum — standard_ruleset.py:10-20
+MATERIAL_TEXTS = (
+    "organism",
+    "specimen from organism",
+    "cell specimen",
+    "single cell specimen",
+    "pool of specimens",
+    "cell culture",
+    "cell line",
+    "restricted access",
+)
+
+#: material text → expected OBI/CLO term — the text↔term consistency map
+#: (standard_ruleset.py:41-62, mapping dict at 46-56); public ontology ids
+MATERIAL_TEXT_TERM = {
+    "organism": "OBI:0100026",
+    "specimen from organism": "OBI:0001479",
+    "cell specimen": "OBI:0001468",
+    "single cell specimen": "OBI:0002127",
+    "pool of specimens": "OBI:0302716",
+    "cell culture": "OBI:0001876",
+    "cell line": "CLO:0000031",
+}
+
+#: closed unit enums — organism_ruleset.py:8-27
+DATE_UNITS = ("YYYY-MM-DD", "YYYY-MM", "YYYY")
+WEIGHT_UNITS = ("grams", "kilograms")
+TIME_UNITS = ("days", "weeks", "months", "day", "week", "month", "years")
+
+#: delivery enums — organism_ruleset.py:29-39
+DELIVERY_TIMING = (
+    "early parturition",
+    "full-term parturition",
+    "delayed parturition",
+)
+DELIVERY_EASE = (
+    "normal autonomous delivery",
+    "c-section",
+    "veterinarian assisted",
+)
+
+#: birth_date format — organism_ruleset.py:95-105 (pattern at 100), with
+#: the missing-value sentinels legal (:110,133)
+BIRTH_DATE_PATTERN = r"^[12]\d{3}(-(0[1-9]|1[0-2])(-(0[1-9]|[12]\d|3[01]))?)?$"
+
+
+def organism_record_id() -> Column:
+    """R13 id resolution (organism_validator_classes.py:237-245):
+    custom.sample_name.value, else 'unknown'."""
+    return F.coalesce(F.col("custom.sample_name.value"), F.lit("unknown"))
+
+
+def validate_organism_batch(df, external_parents=None):
+    """Full lifecycle — the analog of
+    ``PydanticValidator.validate_with_pydantic``
+    (organism_validation.py:150-209):
+
+    1. fused per-record pass (layers 1-2, short-circuit preserved);
+    2. batch relationship pass over VALID records only (:194-198):
+       parent existence (J4), species match (G1), 2-cycles (G2);
+    3. relationship errors attach to the violations output but do NOT
+       flip the per-record verdict — exactly the reference's behavior
+       (:200-207, errors appended to already-valid records).
+
+    Returns (verdicts_df, violations_df).
+    """
+    from faang_pydantics_validation_spark.checks.relationships import (
+        attribute_match_violations,
+        explode_edges,
+        parent_existence_violations,
+        two_cycle_violations,
+    )
+    from faang_pydantics_validation_spark.engine import ValidationEngine
+
+    out = ValidationEngine(organism_ruleset()).validate(
+        df, record_id=organism_record_id()
+    )
+    valid = out.annotated.filter(F.col("passed"))
+    edges = explode_edges(
+        valid.withColumn("species", F.col("organism.text")),
+        "record_id",
+        "child_of",
+        keep=("species",),
+    )
+    batch_ids = out.annotated.select(F.col("record_id").alias("id"))
+    records = valid.select(
+        F.col("record_id").alias("id"), F.col("organism.text").alias("species")
+    )
+    rel = (
+        parent_existence_violations(
+            edges, batch_ids, external_parents, rule_id="org_parent_missing"
+        )
+        .unionByName(
+            attribute_match_violations(
+                edges, records, "species", rule_id="org_species_mismatch"
+            )
+        )
+        .unionByName(two_cycle_violations(edges, rule_id="org_circular"))
+    )
+    violations = out.violations().unionByName(rel)
+    return out.verdicts(), violations
+
+
+def organism_ruleset() -> RuleSet:
+    """The full organism constraint set as declarative IR."""
+    rules: list[Rule] = [
+        # ----- required core fields (standard_ruleset.py:101-102,
+        # organism_ruleset.py:214-215; JSON "required" lists) -----
+        Rule("org_material_required", "material.text", "required", tier="mandatory"),
+        Rule("org_project_required", "project.value", "required", tier="mandatory"),
+        Rule("org_organism_required", "organism.term", "required", tier="mandatory"),
+        Rule("org_sex_required", "sex.term", "required", tier="mandatory"),
+        Rule(
+            "org_sample_name_required",
+            "custom.sample_name.value",
+            "required",
+            tier="mandatory",
+        ),
+        # ----- consts (standard_ruleset.py:66 project == FAANG) -----
+        Rule(
+            "org_project_const",
+            "project.value",
+            "const",
+            params={"value": "FAANG"},
+            message="unexpected value; permitted: 'FAANG'",
+        ),
+        # ----- enums -----
+        Rule(
+            "org_material_text_enum",
+            "material.text",
+            "enum",
+            params={"values": list(MATERIAL_TEXTS)},
+        ),
+        Rule(
+            "org_birth_date_units",
+            "birth_date.units",
+            "enum",
+            params={"values": list(DATE_UNITS)},
+        ),
+        Rule(
+            "org_birth_weight_units",
+            "birth_weight.units",
+            "enum",
+            params={"values": list(WEIGHT_UNITS)},
+        ),
+        Rule(
+            "org_pregnancy_length_units",
+            "pregnancy_length.units",
+            "enum",
+            params={"values": list(TIME_UNITS)},
+        ),
+        Rule(
+            "org_delivery_timing_enum",
+            "delivery_timing.value",
+            "enum",
+            params={"values": list(DELIVERY_TIMING)},
+        ),
+        Rule(
+            "org_delivery_ease_enum",
+            "delivery_ease.value",
+            "enum",
+            params={"values": list(DELIVERY_EASE)},
+        ),
+        # ----- formats -----
+        Rule(
+            "org_birth_date_format",
+            "birth_date.value",
+            "regex",
+            params={
+                "pattern": BIRTH_DATE_PATTERN,
+                "sentinels": list(SENTINELS),
+            },
+            message="Invalid date format: '{value}'",
+        ),
+        Rule(
+            "org_pedigree_uri",
+            "pedigree.value",
+            "uri",
+            params={"schemes": ["http", "https", "ftp"]},
+        ),
+        Rule(
+            "org_availability_uri",
+            "availability.value",
+            "uri",
+            params={"schemes": ["http", "https", "mailto"]},
+        ),
+        # ----- numeric value checks (organism_ruleset.py:163-185) -----
+        Rule("org_latitude_numeric", "birth_location_latitude.value", "numeric"),
+        Rule("org_longitude_numeric", "birth_location_longitude.value", "numeric"),
+        Rule("org_birth_weight_numeric", "birth_weight.value", "numeric"),
+        Rule("org_pregnancy_length_numeric", "pregnancy_length.value", "numeric"),
+        Rule(
+            "org_latitude_range",
+            "birth_location_latitude.value",
+            "range",
+            params={"min": -90.0, "max": 90.0},
+        ),
+        Rule(
+            "org_longitude_range",
+            "birth_location_longitude.value",
+            "range",
+            params={"min": -180.0, "max": 180.0},
+        ),
+        # ----- cross-field: material text must map to its term
+        # (standard_ruleset.py:41-62) -----
+        Rule(
+            "org_material_term_map",
+            "material.term",
+            "cross_field_map",
+            params={"key_field": "material.text", "mapping": MATERIAL_TEXT_TERM},
+            message="Term '{value}' does not match material.text",
+        ),
+        # ----- cardinality: 1..2 parents (organism_ruleset.py:241;
+        # explicit >2 error organism_validation.py:230-231) -----
+        Rule(
+            "org_child_of_cardinality",
+            "child_of",
+            "cardinality",
+            params={"min": 1, "max": 2},
+            message="Organism can have at most 2 parents",
+        ),
+        # ----- layer 2: recommended-field warnings
+        # (organism_validation.py:71-77) -----
+        Rule(
+            "org_birth_date_recommended",
+            "birth_date.value",
+            "recommended",
+            severity="warning",
+            tier="recommended",
+            layer=2,
+        ),
+        Rule(
+            "org_breed_recommended",
+            "breed.term",
+            "recommended",
+            severity="warning",
+            tier="recommended",
+            layer=2,
+        ),
+        Rule(
+            "org_health_status_recommended",
+            "health_status",
+            "recommended",
+            severity="warning",
+            tier="recommended",
+            layer=2,
+        ),
+        # ----- layer 2: ontology prefix checks
+        # (organism_validation.py:89-95, 121-127) -----
+        Rule(
+            "org_organism_prefix",
+            "organism.term",
+            "prefix",
+            params={"prefixes": ["NCBITaxon:"], "sentinels": list(SENTINELS)},
+            message="Organism term '{value}' should be from NCBITaxon ontology",
+            layer=2,
+        ),
+        Rule(
+            "org_sex_prefix",
+            "sex.term",
+            "prefix",
+            params={"prefixes": ["PATO:"], "sentinels": list(SENTINELS)},
+            message="Sex term '{value}' should be from PATO ontology",
+            layer=2,
+        ),
+        Rule(
+            "org_health_status_prefix",
+            "health_status",
+            "forall_prefix",
+            params={
+                "subfield": "term",
+                "prefixes": ["PATO:", "EFO:"],
+                "sentinels": list(SENTINELS),
+            },
+            message="health_status[{i}] term '{v}' should be from PATO or EFO ontology",
+            layer=2,
+        ),
+    ]
+    return RuleSet(name="faang_organism", rules=tuple(rules))
