@@ -1164,6 +1164,112 @@ FROM documents
 """
 
 
+# --------------------------------------------------- report / export ops --
+
+
+def q_export_purl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: ontology term → PURL URL synthesis (reference
+    organism_validation.py:274)."""
+    from faang_pydantics_validation_spark.report import purl
+
+    nation = _t(spark, sf_dir, "nation")
+    term = F.concat(F.lit("NCBITaxon:"), F.col("n_nationkey").cast("string"))
+    return nation.select(
+        F.col("n_nationkey").cast("string").alias("record_id"),
+        term.alias("term"),
+        purl(term).alias("url"),
+    )
+
+
+SQL_EXPORT_PURL = """
+SELECT CAST(n_nationkey AS VARCHAR) AS record_id,
+       'NCBITaxon:' || CAST(n_nationkey AS VARCHAR) AS term,
+       'http://purl.obolibrary.org/obo/NCBITaxon_' || CAST(n_nationkey AS VARCHAR)
+         AS url
+FROM nation
+"""
+
+
+def q_report_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: deterministic report ordering, verified via an explicit rank
+    column (the driver's hash compare is order-insensitive, so the order
+    is materialized as data)."""
+    from faang_pydantics_validation_spark.report import ordered_violations
+
+    df = _t(spark, sf_dir, "documents")
+    out = ValidationEngine(documents_oracle_ruleset()).validate(
+        df, record_id=F.col("doc_id").cast("string")
+    )
+    v = ordered_violations(out.violations())
+    w = Window.orderBy("record_id", "field", "rule_id", "message")
+    return v.select(
+        "record_id", "rule_id", "severity",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
+SQL_REPORT_ORDERING = f"""
+WITH v AS ({SQL_VALIDATE_VIOLATIONS})
+SELECT record_id, rule_id, severity,
+       CAST(ROW_NUMBER() OVER (ORDER BY record_id, field, rule_id, message)
+            AS BIGINT) AS pos
+FROM v
+"""
+
+
+def q_agg_submission_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: ANY error anywhere ⇒ 'Fix issues'
+    (organism_validation.py:348-369)."""
+    df = _t(spark, sf_dir, "documents")
+    out = ValidationEngine(documents_oracle_ruleset()).validate(
+        df, record_id=F.col("doc_id").cast("string")
+    )
+    return out.annotated.agg(
+        F.when(
+            F.sum((F.col("n_errors") > 0).cast("int")) > 0, F.lit("Fix issues")
+        )
+        .otherwise(F.lit("Ready for submission"))
+        .alias("status")
+    )
+
+
+SQL_AGG_SUBMISSION_STATUS = f"""
+SELECT CASE WHEN SUM(CASE WHEN {_SQL_NERR} > 0 THEN 1 ELSE 0 END) > 0
+            THEN 'Fix issues' ELSE 'Ready for submission' END AS status
+FROM documents
+"""
+
+
+def q_uniqueness_violation_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 join-back path: per-record violation rows for duplicate keys."""
+    from faang_pydantics_validation_spark.checks.uniqueness import (
+        uniqueness_violations,
+    )
+
+    return uniqueness_violations(
+        _t(spark, sf_dir, "lineitem"),
+        keys=["l_partkey", "l_suppkey"],
+        rule_id="lin_key_unique",
+        record_id=F.concat_ws("-", "l_orderkey", "l_linenumber"),
+    )
+
+
+SQL_UNIQUENESS_VIOLATION_ROWS = """
+WITH dups AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk, COUNT(*) AS cnt
+  FROM lineitem GROUP BY l_partkey, l_suppkey HAVING COUNT(*) > 1
+)
+SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)
+         AS record_id,
+       'lin_key_unique' AS rule_id,
+       'l_partkey,l_suppkey' AS field,
+       'Duplicate key (l_partkey, l_suppkey): ' || CAST(cnt AS VARCHAR)
+         || ' copies' AS message,
+       'error' AS severity
+FROM lineitem JOIN dups ON l_partkey = pk AND l_suppkey = sk
+"""
+
+
 # --------------------------------------------------------------- registry --
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1206,6 +1312,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_cosine_topk_lsh": q_sim_cosine_topk_lsh,
     "sim_embedding_neardup": q_sim_embedding_neardup,
     "multimodal_meta": q_multimodal_meta,
+    "export_purl": q_export_purl,
+    "report_ordering": q_report_ordering,
+    "agg_submission_status": q_agg_submission_status,
+    "uniqueness_violation_rows": q_uniqueness_violation_rows,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1244,4 +1354,8 @@ ORACLE_SQL: dict[str, str] = {
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
     "sim_cosine_topk": SQL_SIM_COSINE_TOPK,
     "multimodal_meta": SQL_MULTIMODAL_META,
+    "export_purl": SQL_EXPORT_PURL,
+    "report_ordering": SQL_REPORT_ORDERING,
+    "agg_submission_status": SQL_AGG_SUBMISSION_STATUS,
+    "uniqueness_violation_rows": SQL_UNIQUENESS_VIOLATION_ROWS,
 }

@@ -78,9 +78,29 @@ def run_validation(
                 raise ValueError(
                     f"rule {rule.rule_id} needs a DimensionRegistry"
                 )
-            extra_violation_frames.append(
-                membership_violations(df, rule, dims, rid)
-            )
+            # dispatch by ref flavor: plain membership (J1), label match
+            # (J2, params carry text_field), closure membership (J3,
+            # params carry link_dim/closure_dim)
+            if "closure_dim" in rule.params or "link_dim" in rule.params:
+                from faang_pydantics_validation_spark.dims import (
+                    closure_membership_violations,
+                )
+
+                extra_violation_frames.append(
+                    closure_membership_violations(df, rule, dims, rid)
+                )
+            elif "text_field" in rule.params:
+                from faang_pydantics_validation_spark.dims import (
+                    label_match_violations,
+                )
+
+                extra_violation_frames.append(
+                    label_match_violations(df, rule, dims, rid)
+                )
+            else:
+                extra_violation_frames.append(
+                    membership_violations(df, rule, dims, rid)
+                )
         elif rule.kind == "unique":
             extra_violation_frames.append(
                 uniqueness_violations(
