@@ -306,6 +306,44 @@ def _sentinel_tier(rule: Rule) -> Column:
     )
 
 
+def _one_of(rule: Rule) -> Column:
+    """oneOf OR-group: the value is valid if ANY branch passes, and a
+    failing group emits ONE violation — not one per branch. This mirrors
+    the reference ruleset's oneOf blocks
+    (faang_samples_organism.metadata_rules.json:164-178 etc.) AND its
+    suppression of the generic per-branch oneOf noise
+    (organism_validator_classes.py:93-94).
+
+    params: branches = list of rule-spec dicts ({kind, field?, params});
+    a branch inherits the group's field when it omits its own.
+    """
+    from faang_pydantics_validation_spark.rules import Rule as _Rule
+
+    branches = rule.params["branches"]
+    branch_failed: list[Column] = []
+    for i, spec in enumerate(branches):
+        sub = _Rule(
+            rule_id=f"{rule.rule_id}__b{i}",
+            field=spec.get("field", rule.field),
+            kind=spec["kind"],
+            params=spec.get("params", {}),
+            severity=rule.severity,
+            tier=rule.tier,
+            layer=rule.layer,
+        )
+        branch_failed.append(F.size(compile_rule(sub)) > 0)
+    violated = branch_failed[0]
+    for b in branch_failed[1:]:
+        violated = violated & b
+    col = _c(rule.field)
+    return _fragment(
+        rule,
+        col.isNotNull() & violated,
+        col,
+        "value '{value}' does not match any permitted alternative",
+    )
+
+
 def _expr(rule: Rule) -> Column:
     ok = F.expr(rule.params["expression"])  # true = pass; null = pass
     col = _c(rule.field) if rule.field else F.lit(None)
@@ -327,6 +365,7 @@ _COMPILERS: dict[str, Callable[[Rule], Column]] = {
     "forall_prefix": _forall_prefix,
     "cardinality": _cardinality,
     "sentinel_tier": _sentinel_tier,
+    "one_of": _one_of,
     "expr": _expr,
 }
 

@@ -1164,6 +1164,20 @@ FROM documents
 """
 
 
+def q_drift_partition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition drift: Arrow-batched histogram sketches scored by
+    chi-square against the global mixture (rows-only check — the pandas
+    UDF path; partition boundaries follow the scan split)."""
+    from faang_pydantics_validation_spark.checks.drift import (
+        partition_drift_scores,
+        partition_numeric_sketches,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sketches = partition_numeric_sketches(docs, "n_chars", n_buckets=32)
+    return partition_drift_scores(sketches)
+
+
 # --------------------------------------------------- report / export ops --
 
 
@@ -1312,6 +1326,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_cosine_topk_lsh": q_sim_cosine_topk_lsh,
     "sim_embedding_neardup": q_sim_embedding_neardup,
     "multimodal_meta": q_multimodal_meta,
+    "drift_partition_scores": q_drift_partition_scores,
     "export_purl": q_export_purl,
     "report_ordering": q_report_ordering,
     "agg_submission_status": q_agg_submission_status,

@@ -30,6 +30,9 @@ Rule kinds (→ SURVEY.md §2.2 ids):
   sentinel_tier   R10 — missing-value sentinel legality by mandatory tier
                         (constants.py:202-216 MISSING_VALUES matrix)
   recommended     R11 — null recommended field ⇒ warning
+  one_of          —   — oneOf OR-group: any branch passes ⇒ pass; one
+                        violation per failing group (P4 semantics,
+                        organism_validator_classes.py:93-94)
   unique          G3  — handled by checks/uniqueness.py (not row-local)
   ref             J1  — handled by dims.py joins (not row-local)
   expr            —   — escape hatch: raw SQL boolean expression (true=pass)
@@ -58,6 +61,7 @@ ROW_LOCAL_KINDS = frozenset(
         "cardinality",
         "sentinel_tier",
         "recommended",
+        "one_of",
         "expr",
     }
 )
