@@ -1164,6 +1164,37 @@ FROM documents
 """
 
 
+def q_stats_grouped_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical stats rollup — per (lang, source), per lang, and grand
+    total in ONE pass via ROLLUP grouping sets (partial+final agg; the
+    engine extension the reference's flat counters lack)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.rollup("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+        .select(
+            F.coalesce(F.col("lang"), F.lit("<all>")).alias("lang"),
+            F.coalesce(F.col("source"), F.lit("<all>")).alias("source"),
+            F.col("n").cast("long").alias("n"),
+            "avg_chars",
+            "max_chars",
+        )
+    )
+
+
+SQL_STATS_GROUPED_ROLLUP = """
+SELECT COALESCE(lang, '<all>') AS lang, COALESCE(source, '<all>') AS source,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       round(AVG(n_chars), 6) AS avg_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM documents GROUP BY ROLLUP (lang, source)
+"""
+
+
 def q_drift_partition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-partition drift: Arrow-batched histogram sketches scored by
     chi-square against the global mixture (rows-only check — the pandas
@@ -1326,6 +1357,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_cosine_topk_lsh": q_sim_cosine_topk_lsh,
     "sim_embedding_neardup": q_sim_embedding_neardup,
     "multimodal_meta": q_multimodal_meta,
+    "stats_grouped_rollup": q_stats_grouped_rollup,
     "drift_partition_scores": q_drift_partition_scores,
     "export_purl": q_export_purl,
     "report_ordering": q_report_ordering,
@@ -1369,6 +1401,7 @@ ORACLE_SQL: dict[str, str] = {
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
     "sim_cosine_topk": SQL_SIM_COSINE_TOPK,
     "multimodal_meta": SQL_MULTIMODAL_META,
+    "stats_grouped_rollup": SQL_STATS_GROUPED_ROLLUP,
     "export_purl": SQL_EXPORT_PURL,
     "report_ordering": SQL_REPORT_ORDERING,
     "agg_submission_status": SQL_AGG_SUBMISSION_STATUS,
