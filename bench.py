@@ -122,7 +122,7 @@ def main() -> None:
     # nothing over hours-long 100 TB jobs) would otherwise dominate the 4N
     # run's wall and measure the harness, not the engine
     scaling_rows = int(
-        os.environ.get("SPARK_GRAFT_BENCH_SCALING_ROWS", str(2 * n_rows))
+        os.environ.get("SPARK_GRAFT_BENCH_SCALING_ROWS", str(4 * n_rows))
     )
     wall_small = wall_4n = None
     if do_scaling:
