@@ -1164,6 +1164,49 @@ FROM documents
 """
 
 
+def q_organism_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-parity surface: the reference's organism lifecycle over an
+    inline nested-record batch (rows-only — nested structs have no
+    registered DuckDB view; exact expectations live in
+    tests/test_organism.py). Returns the violation rows."""
+    import json as _json
+
+    from faang_pydantics_validation_spark.organism import (
+        ORGANISM_SCHEMA,
+        validate_organism_batch,
+    )
+
+    def rec(name, project="FAANG", sex="PATO:0000384", parents=()):
+        return {
+            "custom": {"sample_name": {"value": name}},
+            "material": {"text": "organism", "term": "OBI:0100026",
+                         "ontology_name": "OBI"},
+            "project": {"value": project},
+            "organism": {"text": "Bos taurus", "term": "NCBITaxon:9913",
+                         "ontology_name": "NCBITaxon"},
+            "sex": {"text": "male", "term": sex, "ontology_name": "PATO"},
+            "birth_date": {"value": "2020-01-15", "units": "YYYY-MM-DD"},
+            "breed": {"text": "Holstein", "term": "LBO:0000487",
+                      "ontology_name": "LBO"},
+            "health_status": [{"text": "normal", "term": "PATO:0000461",
+                               "ontology_name": "PATO"}],
+            "child_of": [{"value": p} for p in parents] or None,
+        }
+
+    rows = [
+        rec("OK1"),
+        rec("OK2", parents=("OK1",)),
+        rec("BADPROJ", project="WRONG"),
+        rec("BADSEX", sex="EFO:0000001"),
+        rec("DANGLING", parents=("MISSING",)),
+    ]
+    df = spark.createDataFrame(
+        [_json.loads(_json.dumps(r)) for r in rows], f"struct<{ORGANISM_SCHEMA}>"
+    )
+    _, violations = validate_organism_batch(df)
+    return violations
+
+
 def q_stats_grouped_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical stats rollup — per (lang, source), per lang, and grand
     total in ONE pass via ROLLUP grouping sets (partial+final agg; the
@@ -1357,6 +1400,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_cosine_topk_lsh": q_sim_cosine_topk_lsh,
     "sim_embedding_neardup": q_sim_embedding_neardup,
     "multimodal_meta": q_multimodal_meta,
+    "organism_batch": q_organism_batch,
     "stats_grouped_rollup": q_stats_grouped_rollup,
     "drift_partition_scores": q_drift_partition_scores,
     "export_purl": q_export_purl,
