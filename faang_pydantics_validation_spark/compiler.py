@@ -94,8 +94,17 @@ def _fragment(
 
 def _required(rule: Rule) -> Column:
     col = _c(rule.field)
+    violated = col.isNull()
+    # conditional presence: draft-07 puts `required` lists INSIDE each
+    # property subschema, so "birth_date requires value+units" only binds
+    # when the birth_date struct itself is present (the JSON-Schema
+    # semantics the reference's rulesets-json files rely on). params
+    # {"if_present": "<parent path>"} gates the check on that struct.
+    parent = rule.params.get("if_present")
+    if parent:
+        violated = _c(parent).isNotNull() & violated
     # pydantic v1 message for a missing required field
-    return _fragment(rule, col.isNull(), col, "field required")
+    return _fragment(rule, violated, col, "field required")
 
 
 def _recommended(rule: Rule) -> Column:

@@ -94,9 +94,50 @@ DELIVERY_EASE = (
     "veterinarian assisted",
 )
 
-#: birth_date format — organism_ruleset.py:95-105 (pattern at 100), with
-#: the missing-value sentinels legal (:110,133)
-BIRTH_DATE_PATTERN = r"^[12]\d{3}(-(0[1-9]|1[0-2])(-(0[1-9]|[12]\d|3[01]))?)?$"
+#: birth_date format — organism_ruleset.py:95-105 (pattern at 99), with
+#: the missing-value sentinels legal (:96-97). EXACT reference parity,
+#: quirk included: the reference evaluates its pattern with ``re.match``
+#: (prefix match; ``$`` binds only to the last alternation branch), so it
+#: ACCEPTS e.g. "2020-01-99" via a prefix match on the YYYY-MM branch.
+#: rlike is a contains-match, so the re.match-equivalent wraps the
+#: alternation in ``^(?:...)`` (see json_schema.re_match_pattern) —
+#: pinned by tests/test_organism.py::test_birth_date_reference_parity.
+BIRTH_DATE_PATTERN = (
+    r"^(?:[12]\d{3}-(0[1-9]|1[0-2])-(0[1-9]|[12]\d|3[01])"
+    r"|[12]\d{3}-(0[1-9]|1[0-2])"
+    r"|[12]\d{3}$)"
+)
+
+
+def organism_schema_paths() -> set[str]:
+    """All resolvable dotted paths of ORGANISM_SCHEMA (for the JSON-Schema
+    importer's availability filter)."""
+    from pyspark.sql.types import StructType
+
+    from faang_pydantics_validation_spark.json_schema import schema_field_paths
+
+    return schema_field_paths(StructType.fromDDL(ORGANISM_SCHEMA))
+
+
+def organism_ruleset_from_json(path: str) -> RuleSet:
+    """Load the reference's ACTUAL declarative ruleset file
+    (``faang_samples_organism.metadata_rules.json`` — or the core file)
+    into this engine's IR, restricted to the attributes ORGANISM_SCHEMA
+    carries. The behavioral-equivalence contract against the hand-written
+    :func:`organism_ruleset` is pinned by
+    tests/test_json_schema.py::test_organism_json_equivalence — identical
+    per-record verdicts and violating (record, field, severity) sets on
+    the golden batch, modulo the documented JSON-is-richer deltas."""
+    from faang_pydantics_validation_spark.json_schema import (
+        ruleset_from_json_schema,
+    )
+
+    return ruleset_from_json_schema(
+        path,
+        name="faang_organism_json",
+        id_prefix="js_org",
+        available=organism_schema_paths(),
+    )
 
 
 def organism_record_id() -> Column:

@@ -1358,6 +1358,63 @@ FROM lineitem JOIN dups ON l_partkey = pk AND l_suppkey = sk
 """
 
 
+# ------------------------------------------------- JSON-Schema ruleset --
+
+#: a draft-07 document in the reference's rulesets-json format describing
+#: the documents table — flat-scalar flavor of the same importer that
+#: loads the reference's faang_samples_*.metadata_rules.json files
+#: (json_schema.py; equivalence vs the hand-written organism ruleset is
+#: pinned by tests/test_json_schema.py).
+DOCUMENTS_JSON_RULESET = {
+    "$schema": "http://json-schema.org/draft-07/schema#",
+    "name": "documents.metadata_rules",
+    "type": "object",
+    "required": ["doc_id", "text", "lang"],
+    "properties": {
+        "doc_id": {"type": "integer"},
+        "text": {"type": "string"},
+        "lang": {"type": "string", "enum": ["en", "zh", "es"]},
+        "source": {"type": "string", "pattern": "^src[0-9]$"},
+        "n_chars": {"type": "number"},
+    },
+}
+
+
+def q_validate_from_json_ruleset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Violations produced by a ruleset LOADED FROM a draft-07 JSON-Schema
+    document (the reference's declarative format) rather than hand-written
+    IR — proves the importer end-to-end against the oracle."""
+    from faang_pydantics_validation_spark.json_schema import (
+        ruleset_from_json_schema,
+    )
+
+    rs = ruleset_from_json_schema(DOCUMENTS_JSON_RULESET, id_prefix="jsdoc")
+    df = _t(spark, sf_dir, "documents")
+    out = ValidationEngine(rs).validate(df, record_id=F.col("doc_id").cast("string"))
+    return out.violations()
+
+
+SQL_VALIDATE_FROM_JSON_RULESET = """
+SELECT CAST(doc_id AS VARCHAR) AS record_id, 'jsdoc_text_required' AS rule_id,
+       'text' AS field, 'field required' AS message, 'error' AS severity
+FROM documents WHERE text IS NULL
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'jsdoc_lang_required', 'lang',
+       'field required', 'error'
+FROM documents WHERE lang IS NULL
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'jsdoc_lang_enum', 'lang',
+       'unexpected value; permitted: ''en'', ''zh'', ''es''', 'error'
+FROM documents WHERE lang IS NOT NULL AND lang NOT IN ('en', 'zh', 'es')
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'jsdoc_source_format', 'source',
+       'Invalid format: ''' || source || ''' does not match ^src[0-9]$',
+       'error'
+FROM documents
+WHERE source IS NOT NULL AND NOT regexp_matches(source, '^src[0-9]$')
+"""
+
+
 # --------------------------------------------------------------- registry --
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1365,6 +1422,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "validate_violations": q_validate_violations,
     "validate_summary": q_validate_summary,
     "validate_closed_schema": q_validate_closed_schema,
+    "validate_from_json_ruleset": q_validate_from_json_ruleset,
     "rule_required": q_rule_required,
     "rule_enum": q_rule_enum,
     "rule_const": q_rule_const,
@@ -1414,6 +1472,7 @@ ORACLE_SQL: dict[str, str] = {
     "validate_violations": SQL_VALIDATE_VIOLATIONS,
     "validate_summary": SQL_VALIDATE_SUMMARY,
     "validate_closed_schema": SQL_VALIDATE_CLOSED_SCHEMA,
+    "validate_from_json_ruleset": SQL_VALIDATE_FROM_JSON_RULESET,
     "rule_required": SQL_RULE_REQUIRED,
     "rule_enum": SQL_RULE_ENUM,
     "rule_const": SQL_RULE_CONST,

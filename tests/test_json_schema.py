@@ -1,0 +1,207 @@
+"""JSON-Schema ruleset importer tests.
+
+The importer's contract (VERDICT r1 #1): parse the reference's ACTUAL
+declarative ruleset files (`/root/reference/app/rulesets-json/*.json`,
+draft-07 + `mandatory` tiers + `graph_restriction`) into the Rule IR, and
+reproduce the hand-written organism ruleset's behavior on the golden batch
+— identical per-record verdicts and violating (record, field, severity)
+sets, with the JSON-is-richer deltas pinned exactly.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from faang_pydantics_validation_spark.engine import ValidationEngine
+from faang_pydantics_validation_spark.json_schema import (
+    re_match_pattern,
+    rules_from_json_schema,
+    ruleset_from_json_schema,
+    schema_field_paths,
+)
+from faang_pydantics_validation_spark.organism import (
+    ORGANISM_SCHEMA,
+    organism_record_id,
+    organism_ruleset,
+    organism_ruleset_from_json,
+)
+
+ORGANISM_JSON = (
+    "/root/reference/app/rulesets-json/faang_samples_organism.metadata_rules.json"
+)
+CORE_JSON = (
+    "/root/reference/app/rulesets-json/faang_samples_core.metadata_rules.json"
+)
+
+
+# ------------------------------------------------------- pattern rewrite --
+
+
+def test_re_match_pattern_plain_anchored_untouched():
+    assert re_match_pattern("^[0-9a-f]{40}$") == "^[0-9a-f]{40}$"
+    # class-internal and escaped pipes are not alternation
+    assert re_match_pattern("^[a|b]+$") == "^[a|b]+$"
+    assert re_match_pattern(r"^a\|b$") == r"^a\|b$"
+    # group-internal pipes are not top-level
+    assert re_match_pattern("^(a|b)c$") == "^(a|b)c$"
+
+
+def test_re_match_pattern_wraps_alternation_and_unanchored():
+    assert re_match_pattern("a|b").startswith("^(?:")
+    assert re_match_pattern("abc") == "^(?:abc)"
+    # the reference birth-date pattern: top-level alternation, wrapped
+    p = re_match_pattern(r"^[12]\d{3}-x|[12]\d{3}$")
+    assert p == r"^(?:^[12]\d{3}-x|[12]\d{3}$)"
+
+
+# ------------------------------------------------------- conversion map --
+
+
+def test_organism_json_imports_expected_rule_kinds(spark):
+    rs = organism_ruleset_from_json(ORGANISM_JSON)
+    by_id = {r.rule_id: r for r in rs.rules}
+    # graph_restriction -> layer-2 prefix with sentinel branch values
+    g = by_id["js_org_organism_term_graph"]
+    assert g.kind == "prefix" and g.layer == 2
+    assert g.params["prefixes"] == ["NCBITaxon:"]
+    assert g.params["sentinels"] == ["restricted access"]
+    # health_status items graph_restriction -> forall_prefix over PATO/EFO
+    h = by_id["js_org_health_status_term_graph"]
+    assert h.kind == "forall_prefix"
+    assert h.params["prefixes"] == ["PATO:", "EFO:"]
+    # oneOf [pattern | sentinels] -> regex with sentinels exempt
+    bd = by_id["js_org_birth_date_value_format"]
+    assert bd.kind == "regex" and "not collected" in bd.params["sentinels"]
+    # minItems/maxItems -> cardinality
+    c = by_id["js_org_child_of_cardinality"]
+    assert c.params == {"min": 1, "max": 2}
+    # mandatory: recommended -> warning rule
+    assert by_id["js_org_breed_recommended"].severity == "warning"
+    # tier annotation flows into Rule.tier
+    assert by_id["js_org_material_text_enum"].tier == "mandatory"
+    # rules for attributes the schema lacks (schema_version, describedBy,
+    # sample_description, same_as) are dropped by the availability filter
+    assert not any("schema_version" in r.rule_id for r in rs.rules)
+    assert not any("describedBy" in r.rule_id for r in rs.rules)
+
+
+def test_core_json_imports():
+    rs = ruleset_from_json_schema(CORE_JSON, id_prefix="js_core")
+    by_id = {r.rule_id: r for r in rs.rules}
+    assert by_id["js_core_project_value_const"].params == {"value": "FAANG"}
+    assert by_id["js_core_material_text_required"].kind == "required"
+    assert by_id["js_core_availability_value_uri"].kind == "uri"
+    mat = by_id["js_core_material_term_enum"]
+    assert "OBI:0100026" in mat.params["values"]
+
+
+def test_schema_field_paths_nested_and_array(spark):
+    from pyspark.sql.types import StructType
+
+    paths = schema_field_paths(StructType.fromDDL(ORGANISM_SCHEMA))
+    assert "custom.sample_name.value" in paths
+    assert "health_status[].term" in paths
+    assert "child_of" in paths
+    assert "schema_version" not in paths
+
+
+# ------------------------------------------------- behavioral equivalence --
+
+
+@pytest.fixture(scope="module")
+def golden_batch(spark):
+    from test_organism import _rec
+
+    rows = [
+        _rec("CLEAN1"),
+        _rec("CLEAN2"),
+        _rec("NOSEX"),
+        _rec("BADMAT", material_text="weird material"),
+        _rec("BADPROJ", project="NOT_FAANG"),
+        _rec("BADDATE", birth_date=("15/01/2020", "YYYY-MM-DD")),
+        _rec("SENTDATE", birth_date=("not collected", "YYYY-MM-DD")),
+        _rec("BADTERMMAP", material_term="OBI:9999999"),
+        _rec("BADHEALTH", health=(("odd", "FOO:123"),)),
+        _rec("NOBREED", breed_term=None),
+        _rec("TRIPLE", child_of=("CLEAN1", "CLEAN2", "NOBREED")),
+        # reference re.match quirk: prefix match on the YYYY-MM branch
+        _rec("PFXDATE", birth_date=("2020-01-99", "YYYY-MM-DD")),
+    ]
+    df = spark.createDataFrame(
+        [json.loads(json.dumps(r)) for r in rows], f"struct<{ORGANISM_SCHEMA}>"
+    )
+    return df.withColumn(
+        "sex",
+        F.when(
+            F.col("custom.sample_name.value") == "NOSEX",
+            F.lit(None).cast(df.schema["sex"].dataType),
+        ).otherwise(F.col("sex")),
+    )
+
+
+def _run(df, rs):
+    out = ValidationEngine(rs).validate(df, record_id=organism_record_id())
+    viol = {
+        (r.record_id, r.field, r.severity) for r in out.violations().collect()
+    }
+    verd = {r.record_id: r.passed for r in out.verdicts().collect()}
+    return viol, verd
+
+
+def test_organism_json_equivalence(spark, golden_batch):
+    """The imported ruleset reproduces the hand-written one on the golden
+    batch: identical verdicts, identical violating (record, field,
+    severity) sets — except the ONE documented delta where the JSON file
+    is strictly richer than the reference's Python validator: draft-07
+    requires BOTH sex.text and sex.term, the Pydantic class reports only
+    the term (organism_ruleset.py:77-87 vs metadata_rules.json:188-193)."""
+    hand_viol, hand_verd = _run(golden_batch, organism_ruleset())
+    json_viol, json_verd = _run(
+        golden_batch, organism_ruleset_from_json(ORGANISM_JSON)
+    )
+    assert hand_verd == json_verd
+    assert hand_viol - json_viol == set()
+    assert json_viol - hand_viol == {("NOSEX", "sex.text", "error")}
+
+
+def test_json_ruleset_short_circuit(spark, golden_batch):
+    """Layer-1 JSON failures suppress the imported layer-2 ontology
+    checks, matching the reference lifecycle short-circuit."""
+    out = ValidationEngine(organism_ruleset_from_json(ORGANISM_JSON)).validate(
+        golden_batch, record_id=organism_record_id()
+    )
+    nosex = [
+        r for r in out.violations().collect() if r.record_id == "NOSEX"
+    ]
+    assert all(r.rule_id.endswith("_required") for r in nosex)
+
+
+def test_items_enum_fires_and_top_level_scalar_schema():
+    """Flat-scalar schemas (the documents/code tables) import too —
+    exercised end-to-end by the validate_from_json_ruleset contract
+    query; here just the rule shapes."""
+    doc = {
+        "type": "object",
+        "required": ["id"],
+        "properties": {
+            "id": {"type": "integer"},
+            "tags": {
+                "type": "array",
+                "minItems": 1,
+                "items": {
+                    "type": "object",
+                    "required": ["value"],
+                    "properties": {"value": {"enum": ["a", "b"]}},
+                },
+            },
+        },
+    }
+    rules = {r.rule_id: r for r in rules_from_json_schema(doc, id_prefix="t")}
+    assert rules["t_id_required"].kind == "required"
+    assert rules["t_id_numeric"].kind == "numeric"
+    assert rules["t_tags_cardinality"].params == {"min": 1}
+    assert "forall(tags" in rules["t_tags_value_enum"].params["expression"]
+    assert "forall(tags" in rules["t_tags_items_required"].params["expression"]
