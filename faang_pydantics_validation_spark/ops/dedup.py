@@ -329,11 +329,21 @@ def simhash_candidates(
     text_col: str,
     max_hamming: int = 3,
     bands: int = 4,
+    max_bucket_size: int | None = 200,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64-bit fingerprint into
     ``bands`` chunks (pigeonhole: any pair within Hamming distance
     bands-1 shares ≥1 exact chunk), join on (band, chunk), verify
-    bit_count(xor) ≤ max_hamming. Returns (id_a, id_b, hamming)."""
+    bit_count(xor) ≤ max_hamming. Returns (id_a, id_b, hamming).
+
+    ``max_bucket_size`` caps (band, chunk) bucket population before the
+    self-join, exactly like :func:`minhash_candidates`: on a
+    template-heavy corpus a 16-bit chunk shared by boilerplate puts ~all
+    documents in one bucket and the join goes quadratic per bucket — at
+    10^12 docs an average bucket already holds ~10^7 rows. Over-full
+    buckets are boilerplate collision, not near-duplication; dropping
+    them bounds the pair fan-out to max_bucket_size² per bucket. None
+    disables (exhaustive semantics for small corpora)."""
     chunk_bits = 64 // bands
     sh = with_simhash(df, id_col, text_col)
     mask = (1 << chunk_bits) - 1
@@ -354,6 +364,13 @@ def simhash_candidates(
             )
         ).alias("bc"),
     ).select("doc_id", "simhash", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
+    if max_bucket_size is not None:
+        sizes = banded.groupBy("band", "chunk").agg(
+            F.count(F.lit(1)).alias("__bsize")
+        )
+        banded = banded.join(
+            sizes.filter(F.col("__bsize") <= max_bucket_size), ["band", "chunk"]
+        ).drop("__bsize")
     left, right = banded.alias("l"), banded.alias("r")
     pairs = (
         left.join(

@@ -28,8 +28,13 @@ from pyspark.sql import functions as F
 
 from faang_pydantics_validation_spark.rules import Rule, RuleSet, SENTINELS
 
-#: DDL schema for one organism record (explicit — never inferSchema)
+#: DDL schema for one organism record (explicit — never inferSchema).
+#: Core-metadata fields mirror SampleCoreMetadata flattened by inheritance
+#: (standard_ruleset.py:99-131, organism_ruleset.py:212).
 ORGANISM_SCHEMA = """
+    describedBy string,
+    sample_description struct<value: string>,
+    same_as struct<value: string>,
     custom struct<sample_name: struct<value: string>>,
     material struct<text: string, term: string, ontology_name: string>,
     project struct<value: string>,
@@ -52,6 +57,38 @@ ORGANISM_SCHEMA = """
     child_of array<struct<value: string>>,
     availability struct<value: string>
 """
+
+#: top-level attributes the closed schema allows (Config.extra="forbid",
+#: organism_ruleset.py:246-247): the model's own fields + inherited core
+#: fields. A record nesting its core block under `samples_core` (the
+#: sample1.json fixture shape) therefore fails with 'extra fields not
+#: permitted' on samples_core — exactly the reference's parse behavior.
+ORGANISM_KNOWN_FIELDS = (
+    "describedBy",
+    "sample_description",
+    "same_as",
+    "custom",
+    "material",
+    "project",
+    "secondary_project",
+    "organism",
+    "sex",
+    "birth_date",
+    "breed",
+    "health_status",
+    "diet",
+    "birth_location",
+    "birth_location_latitude",
+    "birth_location_longitude",
+    "birth_weight",
+    "placental_weight",
+    "pregnancy_length",
+    "delivery_timing",
+    "delivery_ease",
+    "pedigree",
+    "child_of",
+    "availability",
+)
 
 #: Material text enum — standard_ruleset.py:10-20
 MATERIAL_TEXTS = (
@@ -137,6 +174,7 @@ def organism_ruleset_from_json(path: str) -> RuleSet:
         name="faang_organism_json",
         id_prefix="js_org",
         available=organism_schema_paths(),
+        known_fields=ORGANISM_KNOWN_FIELDS,
     )
 
 
@@ -372,4 +410,8 @@ def organism_ruleset() -> RuleSet:
             layer=2,
         ),
     ]
-    return RuleSet(name="faang_organism", rules=tuple(rules))
+    return RuleSet(
+        name="faang_organism",
+        rules=tuple(rules),
+        known_fields=ORGANISM_KNOWN_FIELDS,
+    )

@@ -82,10 +82,11 @@ def test_organism_json_imports_expected_rule_kinds(spark):
     assert by_id["js_org_breed_recommended"].severity == "warning"
     # tier annotation flows into Rule.tier
     assert by_id["js_org_material_text_enum"].tier == "mandatory"
-    # rules for attributes the schema lacks (schema_version, describedBy,
-    # sample_description, same_as) are dropped by the availability filter
+    # rules for attributes the schema lacks (schema_version) are dropped
+    # by the availability filter; describedBy IS in the schema, so its
+    # const rule survives
     assert not any("schema_version" in r.rule_id for r in rs.rules)
-    assert not any("describedBy" in r.rule_id for r in rs.rules)
+    assert by_id["js_org_describedBy_const"].kind == "const"
 
 
 def test_core_json_imports():

@@ -67,6 +67,23 @@ def test_minhash_bucket_cap(spark):
     assert uncapped.count() == 50 * 49 // 2
 
 
+def test_simhash_bucket_cap(spark):
+    """Degenerate template corpus: every doc identical ⇒ all 50 land in
+    the same (band, chunk) bucket in every band. The cap drops those
+    buckets before pairing, so candidates stay bounded instead of
+    quadratic; None restores exhaustive semantics."""
+    same = spark.createDataFrame(
+        [(i, "identical text body for everyone") for i in range(50)],
+        "doc_id long, text string",
+    )
+    capped = dd.simhash_candidates(same, "doc_id", "text", max_bucket_size=10)
+    assert capped.count() == 0
+    uncapped = dd.simhash_candidates(
+        same, "doc_id", "text", max_bucket_size=None
+    )
+    assert uncapped.count() == 50 * 49 // 2
+
+
 def test_simhash(spark, docs):
     sh = {r.doc_id: r.simhash for r in dd.with_simhash(docs, "doc_id", "text").collect()}
     assert sh[1] == sh[3]  # identical text → identical fingerprint
