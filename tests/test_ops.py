@@ -131,6 +131,48 @@ def test_lsh_topk_is_subset_scored_identically(spark, vectors):
         assert abs(exact[r.neighbor_id] - r.score) < 1e-9
 
 
+def test_hyperplane_matrix_matches_spark_xxhash64(spark):
+    """The driver-side xxHash64 reimplementation is bit-identical to
+    Spark's F.xxhash64(lit(p), lit(j)) — the invariant that keeps
+    matrix-form lsh_bucket values equal to the expression-form
+    hyperplane_component definition."""
+    cases = [(0, 0), (1, 2), (15, 767), (7, 63), (3, 4095), (11, 11)]
+    row = spark.range(1).select(
+        *[
+            F.xxhash64(F.lit(p), F.lit(j)).alias(f"h{i}")
+            for i, (p, j) in enumerate(cases)
+        ]
+    ).head()
+    for i, (p, j) in enumerate(cases):
+        assert sim._xxhash64_ints(p, j) == row[f"h{i}"], (p, j)
+    # and the scaled component agrees with the Column definition
+    comp = spark.range(1).select(
+        sim.hyperplane_component(3, 5).alias("c")
+    ).head().c
+    assert sim.hyperplane_matrix(6, 4)[3][5] == comp
+
+
+def test_lsh_bucket_plans_fast_at_dim768(spark, vectors):
+    """Constant-size expression tree: bucketing a dim=768 corpus with 16
+    planes must plan AND run in seconds (the unrolled form took minutes
+    of analysis at this width — VERDICT r1 #3)."""
+    import time
+
+    rows = [(i, [0.001 * (i + j) for j in range(768)]) for i in range(20)]
+    d = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    t0 = time.time()
+    out = d.select(
+        sim.lsh_bucket(F.col("embedding"), 768, 16).alias("b")
+    ).collect()
+    assert len(out) == 20
+    assert time.time() - t0 < 15.0  # generous for a throttled host
+    # plan carries ONE literal per plane, not dim*n_planes nodes
+    plan = d.select(
+        sim.lsh_bucket(F.col("embedding"), 768, 16).alias("b")
+    )._jdf.queryExecution().analyzed().toString()
+    assert len(plan) < 2_000_000
+
+
 def test_embedding_near_dup(spark, vectors):
     pairs = sim.embedding_near_dup_pairs(vectors, dim=8, threshold=0.999, n_planes=3)
     got = pairs.collect()
