@@ -1278,6 +1278,90 @@ FROM nation
 """
 
 
+def q_export_biosample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2+P3: the FULL BioSamples export shape (material/organism/sex
+    always; birth date {text, unit}; breed; relationships — reference
+    organism_validation.py:267-307) built over the customer table and
+    flattened back to scalars so DuckDB can hash-compare it. Conditional
+    emission exercised: birth date absent for custkey%3==0, breed absent
+    for custkey%5==0, relationships absent for custkey%2==0."""
+    from faang_pydantics_validation_spark.report import export_biosample_format
+
+    base = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("record_id"),
+        F.struct(
+            F.lit("organism").alias("text"), F.lit("OBI:0100026").alias("term")
+        ).alias("material"),
+        F.struct(
+            F.col("c_mktsegment").alias("text"),
+            F.concat(F.lit("NCBITaxon:"), F.col("c_nationkey").cast("string")).alias(
+                "term"
+            ),
+        ).alias("organism"),
+        F.struct(
+            F.lit("female").alias("text"), F.lit("PATO:0000383").alias("term")
+        ).alias("sex"),
+        F.when(
+            F.col("c_custkey") % 3 != 0,
+            F.struct(
+                F.lit("2020-01-15").alias("value"),
+                F.lit("YYYY-MM-DD").alias("units"),
+            ),
+        ).alias("birth_date"),
+        F.when(
+            F.col("c_custkey") % 5 != 0,
+            F.struct(
+                F.lit("Holstein").alias("text"), F.lit("LBO:0000487").alias("term")
+            ),
+        ).alias("breed"),
+        F.when(
+            F.col("c_custkey") % 2 != 0,
+            F.array(F.concat(F.lit("P"), (F.col("c_custkey") - 1).cast("string"))),
+        ).alias("child_of"),
+    )
+    out = export_biosample_format(
+        base,
+        sex_text="sex.text",
+        sex_term="sex.term",
+        birth_date_value="birth_date.value",
+        birth_date_units="birth_date.units",
+        breed_text="breed.text",
+        breed_term="breed.term",
+    )
+    c = F.col("characteristics")
+    return out.select(
+        F.col("name"),
+        c["material"][0]["ontologyTerms"][0].alias("material_purl"),
+        c["organism"][0]["text"].alias("organism_text"),
+        c["organism"][0]["ontologyTerms"][0].alias("organism_purl"),
+        c["sex"][0]["ontologyTerms"][0].alias("sex_purl"),
+        c["birth date"][0]["text"].alias("birth_text"),
+        c["birth date"][0]["unit"].alias("birth_unit"),
+        c["breed"][0]["ontologyTerms"][0].alias("breed_purl"),
+        F.size("relationships").cast("long").alias("n_relationships"),
+        F.col("relationships")[0]["target"].alias("first_parent"),
+    )
+
+
+SQL_EXPORT_BIOSAMPLE = """
+SELECT CAST(c_custkey AS VARCHAR) AS name,
+       'http://purl.obolibrary.org/obo/OBI_0100026' AS material_purl,
+       c_mktsegment AS organism_text,
+       'http://purl.obolibrary.org/obo/NCBITaxon_' || CAST(c_nationkey AS VARCHAR)
+         AS organism_purl,
+       'http://purl.obolibrary.org/obo/PATO_0000383' AS sex_purl,
+       CASE WHEN c_custkey % 3 <> 0 THEN '2020-01-15' END AS birth_text,
+       CASE WHEN c_custkey % 3 <> 0 THEN 'YYYY-MM-DD' END AS birth_unit,
+       CASE WHEN c_custkey % 5 <> 0
+            THEN 'http://purl.obolibrary.org/obo/LBO_0000487' END AS breed_purl,
+       CASE WHEN c_custkey % 2 <> 0 THEN CAST(1 AS BIGINT) END
+         AS n_relationships,
+       CASE WHEN c_custkey % 2 <> 0
+            THEN 'P' || CAST(c_custkey - 1 AS VARCHAR) END AS first_parent
+FROM customer
+"""
+
+
 def q_report_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3: deterministic report ordering, verified via an explicit rank
     column (the driver's hash compare is order-insensitive, so the order
@@ -1462,6 +1546,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stats_grouped_rollup": q_stats_grouped_rollup,
     "drift_partition_scores": q_drift_partition_scores,
     "export_purl": q_export_purl,
+    "export_biosample": q_export_biosample,
     "report_ordering": q_report_ordering,
     "agg_submission_status": q_agg_submission_status,
     "uniqueness_violation_rows": q_uniqueness_violation_rows,
@@ -1506,6 +1591,7 @@ ORACLE_SQL: dict[str, str] = {
     "multimodal_meta": SQL_MULTIMODAL_META,
     "stats_grouped_rollup": SQL_STATS_GROUPED_ROLLUP,
     "export_purl": SQL_EXPORT_PURL,
+    "export_biosample": SQL_EXPORT_BIOSAMPLE,
     "report_ordering": SQL_REPORT_ORDERING,
     "agg_submission_status": SQL_AGG_SUBMISSION_STATUS,
     "uniqueness_violation_rows": SQL_UNIQUENESS_VIOLATION_ROWS,

@@ -94,14 +94,33 @@ def export_biosample_format(
     material_term: str = "material.term",
     organism_text: str = "organism.text",
     organism_term: str = "organism.term",
+    sex_text: str | None = None,
+    sex_term: str | None = None,
+    birth_date_value: str | None = None,
+    birth_date_units: str | None = None,
+    breed_text: str | None = None,
+    breed_term: str | None = None,
     parents_col: str | None = "child_of",
 ) -> DataFrame:
     """P2+P3: reshape flat validated records into the BioSamples submission
     shape (reference export_organism_to_biosample_format,
-    organism_validation.py:267-307): characteristics arrays-of-structs with
-    PURL ontologyTerms, plus conditional ``relationships``.
+    organism_validation.py:267-307):
 
-    Pure projection — narrow, zero shuffle.
+    * characteristics.material / organism / sex — always emitted, each an
+      array of one {text, ontologyTerms:[PURL]} struct (:272-284);
+    * characteristics.`birth date` — CONDITIONAL on the attribute being
+      present; {text: value, unit: units}, NO ontologyTerms (:286-290);
+    * characteristics.breed — conditional, with ontologyTerms (:292-296);
+    * relationships — conditional list of {type: 'child of', target}
+      (:298-305).
+
+    The reference omits dict keys for absent attributes; a DataFrame
+    struct has a fixed schema, so conditional emission maps to a NULL
+    field value (`to_json` then drops nulls, reproducing the dict shape
+    byte-for-byte — see tests/test_report_export.py).
+
+    Pure projection — narrow, zero shuffle. Optional columns default to
+    None so non-organism tables can export the minimal shape.
     """
     def char(text_col: str, term_col: str):
         return F.array(
@@ -111,12 +130,34 @@ def export_biosample_format(
             )
         )
 
+    characteristics = [
+        char(material_text, material_term).alias("material"),
+        char(organism_text, organism_term).alias("organism"),
+    ]
+    if sex_text is not None and sex_term is not None:
+        characteristics.append(char(sex_text, sex_term).alias("sex"))
+    if birth_date_value is not None and birth_date_units is not None:
+        characteristics.append(
+            F.when(
+                F.col(birth_date_value).isNotNull(),
+                F.array(
+                    F.struct(
+                        F.col(birth_date_value).alias("text"),
+                        F.col(birth_date_units).alias("unit"),
+                    )
+                ),
+            ).alias("birth date")
+        )
+    if breed_text is not None and breed_term is not None:
+        characteristics.append(
+            F.when(
+                F.col(breed_term).isNotNull(), char(breed_text, breed_term)
+            ).alias("breed")
+        )
+
     cols = [
         F.col(name_col).alias("name"),
-        F.struct(
-            char(material_text, material_term).alias("material"),
-            char(organism_text, organism_term).alias("organism"),
-        ).alias("characteristics"),
+        F.struct(*characteristics).alias("characteristics"),
     ]
     if parents_col is not None:
         dt = dict(df.dtypes).get(parents_col, "")
@@ -133,3 +174,19 @@ def export_biosample_format(
             ).alias("relationships")
         )
     return df.select(*cols)
+
+
+def export_organism_batch(df: DataFrame, name_col: str = "record_id") -> DataFrame:
+    """The full organism export — every characteristic the reference
+    emits (organism_validation.py:267-307) wired to ORGANISM_SCHEMA
+    paths."""
+    return export_biosample_format(
+        df,
+        name_col=name_col,
+        sex_text="sex.text",
+        sex_term="sex.term",
+        birth_date_value="birth_date.value",
+        birth_date_units="birth_date.units",
+        breed_text="breed.text",
+        breed_term="breed.term",
+    )

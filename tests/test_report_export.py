@@ -76,3 +76,59 @@ def test_export_shape(spark):
     assert mat.ontologyTerms == ["http://purl.obolibrary.org/obo/OBI_0001479"]
     assert [r.type for r in out.relationships] == ["child of", "child of"]
     assert [r.target for r in out.relationships] == ["PARENT1", "PARENT2"]
+
+
+def test_export_full_organism_reference_shape(spark):
+    """The FULL reference export dict (organism_validation.py:267-307):
+    material/organism/sex always; `birth date` with {text, unit} and NO
+    ontologyTerms; breed with ontologyTerms; both conditional;
+    relationships conditional. to_json(ignoreNullFields) reproduces the
+    reference's key-omission behavior exactly."""
+    import json
+
+    from faang_pydantics_validation_spark.organism import ORGANISM_SCHEMA
+    from faang_pydantics_validation_spark.report import export_organism_batch
+    from test_organism import _rec
+
+    rows = [
+        _rec("FULL", child_of=("P1", "P2")),
+        _rec("BARE", birth_date=None, breed_term=None),
+    ]
+    df = spark.createDataFrame(
+        [json.loads(json.dumps(r)) for r in rows], f"struct<{ORGANISM_SCHEMA}>"
+    ).withColumn("record_id", F.col("custom.sample_name.value"))
+
+    got = {
+        r.name: json.loads(r.js)
+        for r in export_organism_batch(df)
+        .select("name", F.to_json(F.struct("characteristics", "relationships")).alias("js"))
+        .collect()
+    }
+
+    full = got["FULL"]
+    assert full["characteristics"]["material"] == [
+        {"text": "organism",
+         "ontologyTerms": ["http://purl.obolibrary.org/obo/OBI_0100026"]}
+    ]
+    assert full["characteristics"]["sex"] == [
+        {"text": "male",
+         "ontologyTerms": ["http://purl.obolibrary.org/obo/PATO_0000384"]}
+    ]
+    assert full["characteristics"]["birth date"] == [
+        {"text": "2020-01-15", "unit": "YYYY-MM-DD"}
+    ]
+    assert full["characteristics"]["breed"] == [
+        {"text": "Holstein",
+         "ontologyTerms": ["http://purl.obolibrary.org/obo/LBO_0000487"]}
+    ]
+    assert full["relationships"] == [
+        {"type": "child of", "target": "P1"},
+        {"type": "child of", "target": "P2"},
+    ]
+
+    bare = got["BARE"]
+    # conditional keys omitted exactly like the reference's dict
+    assert "birth date" not in bare["characteristics"]
+    assert "breed" not in bare["characteristics"]
+    assert "relationships" not in bare
+    assert set(bare["characteristics"]) == {"material", "organism", "sex"}
