@@ -1207,6 +1207,83 @@ def q_organism_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return violations
 
 
+def q_sample_types_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-type lifecycle (specimen/pool/cell + organism): per-type
+    fused rules + ONE cross-type relationship pass (J4 existence, J5
+    allowed parent kind over ALLOWED_RELATIONSHIPS). Rows-only — nested
+    structs; exact expectations in tests/test_samples.py. Returns
+    violation rows sorted for stability."""
+    import json as _json
+
+    from faang_pydantics_validation_spark.organism import ORGANISM_SCHEMA
+    from faang_pydantics_validation_spark.samples import (
+        CELL_SPECIMEN_SCHEMA,
+        POOL_SCHEMA,
+        SPECIMEN_SCHEMA,
+        validate_sample_batches,
+    )
+
+    def core(name, material_text, material_term):
+        return {
+            "custom": {"sample_name": {"value": name}},
+            "material": {"text": material_text, "term": material_term,
+                         "ontology_name": "OBI"},
+            "project": {"value": "FAANG"},
+        }
+
+    organisms = [
+        {**core("H1", "organism", "OBI:0100026"),
+         "organism": {"text": "Equus caballus", "term": "NCBITaxon:9796",
+                      "ontology_name": "NCBITaxon"},
+         "sex": {"text": "female", "term": "PATO:0000383",
+                 "ontology_name": "PATO"},
+         "birth_date": {"value": "2009-04", "units": "YYYY-MM"},
+         "breed": {"text": "Thoroughbred", "term": "LBO:0000910",
+                   "ontology_name": "LBO"},
+         "health_status": [{"text": "normal", "term": "PATO:0000461",
+                            "ontology_name": "PATO"}]},
+    ]
+    specimens = [
+        {**core("S1", "specimen from organism", "OBI:0001479"),
+         "specimen_collection_date": {"value": "2005-05", "units": "YYYY-MM"},
+         "animal_age_at_collection": {"value": 23.5, "units": "month"},
+         "organism_part": {"text": "adipose tissue", "term": "UBERON:0001013",
+                           "ontology_name": "UBERON"},
+         "specimen_collection_protocol": {"value": "https://example.org/p.pdf"},
+         "derived_from": {"value": "H1"}},
+        # bad: derives from a pool (kind not allowed) + bad date
+        {**core("S2", "specimen from organism", "OBI:0001479"),
+         "specimen_collection_date": {"value": "05/2005", "units": "YYYY-MM"},
+         "derived_from": {"value": "POOL1"}},
+    ]
+    pools = [
+        {**core("POOL1", "pool of specimens", "OBI:0302716"),
+         "pool_creation_date": {"value": "2006", "units": "YYYY"},
+         "derived_from": [{"value": "S1"}, {"value": "GHOST"}]},
+    ]
+    cells = [
+        {**core("C1", "cell specimen", "OBI:0001468"),
+         "cell_type": [{"text": "pbmc", "term": "CL:2000001",
+                        "ontology_name": "CL"}],
+         "derived_from": {"value": "S1"}},
+    ]
+
+    def mk(rows, schema):
+        return spark.createDataFrame(
+            [_json.loads(_json.dumps(r)) for r in rows], f"struct<{schema}>"
+        )
+
+    verdicts, violations = validate_sample_batches(
+        {
+            "specimen_from_organism": mk(specimens, SPECIMEN_SCHEMA),
+            "pool_of_specimens": mk(pools, POOL_SCHEMA),
+            "cell_specimen": mk(cells, CELL_SPECIMEN_SCHEMA),
+        },
+        organism_df=mk(organisms, ORGANISM_SCHEMA),
+    )
+    return violations.orderBy("record_id", "rule_id", "message")
+
+
 def q_stats_grouped_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical stats rollup — per (lang, source), per lang, and grand
     total in ONE pass via ROLLUP grouping sets (partial+final agg; the
@@ -1543,6 +1620,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_embedding_neardup": q_sim_embedding_neardup,
     "multimodal_meta": q_multimodal_meta,
     "organism_batch": q_organism_batch,
+    "sample_types_batch": q_sample_types_batch,
     "stats_grouped_rollup": q_stats_grouped_rollup,
     "drift_partition_scores": q_drift_partition_scores,
     "export_purl": q_export_purl,
