@@ -14,8 +14,12 @@ Per-query timings cover the headline operators at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
 
 Env knobs: SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_SF_DIR,
-SPARK_GRAFT_BENCH_ROWS (default 2_000_000), SPARK_GRAFT_BENCH_SCALING=0
-to skip the small-cores run.
+SPARK_GRAFT_BENCH_ROWS (default 1_000_000 — the configuration the
+recorded BENCH/BASELINE.md headline uses), SPARK_GRAFT_BENCH_SCALING=0
+to skip the scaling pair, SPARK_GRAFT_BENCH_SCALING_ROWS (default
+16 × BENCH_ROWS: the pair needs ≥60 s of compute at the small core
+count so the ~5 s fixed per-job overhead is <10% of wall and the
+efficiency number measures the engine, not the harness).
 """
 
 from __future__ import annotations
@@ -122,7 +126,7 @@ def main() -> None:
     # nothing over hours-long 100 TB jobs) would otherwise dominate the 4N
     # run's wall and measure the harness, not the engine
     scaling_rows = int(
-        os.environ.get("SPARK_GRAFT_BENCH_SCALING_ROWS", str(4 * n_rows))
+        os.environ.get("SPARK_GRAFT_BENCH_SCALING_ROWS", str(16 * n_rows))
     )
     wall_small = wall_4n = None
     if do_scaling:

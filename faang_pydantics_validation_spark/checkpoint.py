@@ -14,9 +14,12 @@ deployment the snapshot_id is the Iceberg snapshot being validated):
                                       rows scanned, violations, wall ms
 
 One file per partition (written via atomic rename) means concurrent
-executors/retries can't corrupt the manifest, and resume is a pure
-read-list-and-anti-join: completed partitions are skipped before the scan,
-so the second run's cost is proportional to the REMAINING data only.
+executors/retries can't corrupt the manifest. On resume, completed
+partitions are dropped from the pending list and the remaining ones run
+in IN-filtered groups (see :func:`run_partitioned`): processing cost is
+proportional to the remaining data, and input re-scan cost is bounded by
+ceil(remaining / group_size) passes (a hash key cannot prune a parquet
+scan; an Iceberg-partition key additionally prunes files per group).
 """
 
 from __future__ import annotations
@@ -89,36 +92,50 @@ def run_partitioned(
     key: Column,
     n_partitions: int,
     manifest: CheckpointManifest,
-    process,  # Callable[[DataFrame, int], tuple[int, int]] → (rows, violations)
+    process_group,  # Callable[[DataFrame, list[int]], dict[int, tuple[int, int]]]
     snapshot_id: str = "sandbox",
     group_size: int = 8,
 ) -> list[PartitionLineage]:
     """Drive a resumable validation run.
 
-    Partitions are processed in groups of ``group_size`` (one Spark job per
-    group — the filter ``__ckpt_part IN (...)`` prunes the rest of the
-    scan); each completed partition gets its own atomic manifest entry.
-    On re-run, completed partitions are skipped entirely.
+    Pending partitions are processed in GROUPS of ``group_size``: each
+    group is ONE filter over the input (``__ckpt_part IN (<group>)``), so
+    a resumed run passes over the input ceil(remaining / group_size)
+    times — not once per partition. (The hash-derived key cannot prune a
+    parquet scan, so the group batch is what bounds re-scan cost; with an
+    Iceberg partition value as the key, the IN-filter additionally prunes
+    files.) Each completed partition still gets its own atomic manifest
+    entry, so a crash mid-group loses at most that group's work.
 
-    ``process(part_df, partition_id)`` does the actual work (validate +
-    write) and returns (rows_scanned, violations) — typically from an
-    ``observe()`` so counting costs no extra job.
+    ``process_group(part_df, group)`` does the actual work (validate +
+    write; ``part_df`` carries the ``__ckpt_part`` column) and returns
+    ``{partition_id: (rows_scanned, violations)}`` for the group —
+    typically from an ``observe()`` plus a partition-pruned read-back of
+    what it just wrote. Partitions absent from the returned dict are
+    recorded as empty (hash slots with no rows are normal for sparse
+    inputs).
+
+    Group wall time is attributed evenly across the group's partitions
+    (per-partition timing inside one job is not observable from the
+    driver).
     """
     staged = df.withColumn("__ckpt_part", key)
     done: list[PartitionLineage] = []
     pending = pending_partitions(manifest, n_partitions)
     for i in range(0, len(pending), group_size):
         group = pending[i : i + group_size]
+        part_df = staged.filter(F.col("__ckpt_part").isin(group))
+        t0 = time.monotonic()
+        stats = process_group(part_df, group)
+        wall_each = int((time.monotonic() - t0) * 1000 / max(len(group), 1))
         for pid in group:
-            part_df = staged.filter(F.col("__ckpt_part") == pid).drop("__ckpt_part")
-            t0 = time.monotonic()
-            rows, violations = process(part_df, pid)
+            rows, violations = stats.get(pid, (0, 0))
             lineage = PartitionLineage(
                 partition_id=pid,
                 snapshot_id=snapshot_id,
                 rows_scanned=int(rows),
                 violations=int(violations),
-                wall_ms=int((time.monotonic() - t0) * 1000),
+                wall_ms=wall_each,
             )
             manifest.record(lineage)
             done.append(lineage)

@@ -65,21 +65,42 @@ def chi_square_drift(df_a: DataFrame, df_b: DataFrame, column: str) -> DataFrame
         ).alias("e_b"),
     )
     stat_row = contrib.agg(
-        F.sum(
-            F.when(F.col("e_a") > 0, F.pow(F.col("n_a") - F.col("e_a"), 2) / F.col("e_a")).otherwise(0.0)
-            + F.when(F.col("e_b") > 0, F.pow(F.col("n_b") - F.col("e_b"), 2) / F.col("e_b")).otherwise(0.0)
+        F.coalesce(
+            F.sum(
+                F.when(F.col("e_a") > 0, F.pow(F.col("n_a") - F.col("e_a"), 2) / F.col("e_a")).otherwise(0.0)
+                + F.when(F.col("e_b") > 0, F.pow(F.col("n_b") - F.col("e_b"), 2) / F.col("e_b")).otherwise(0.0)
+            ),
+            F.lit(0.0),
         ).alias("statistic"),
         (F.count(F.lit(1)) - 1).cast("long").alias("dof"),
-        F.first("ta").alias("n_a"),
-        F.first("tb").alias("n_b"),
+        F.coalesce(F.first("ta"), F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(F.first("tb"), F.lit(0)).cast("long").alias("n_b"),
     )
-    row = stat_row.collect()[0]
-    p = chi2_sf(row.statistic or 0.0, max(int(row.dof), 1))
-    spark = df_a.sparkSession
-    return spark.createDataFrame(
-        [(float(row.statistic or 0.0), int(row.dof), int(row.n_a), int(row.n_b), float(p))],
-        "statistic double, dof long, n_a long, n_b long, p_value double",
+    # p-value as a COLUMN over the single reduced row (Arrow-batched UDF
+    # evaluating the incomplete-gamma series), so the whole op stays one
+    # lazy DataFrame — no mid-pipeline collect + createDataFrame round
+    # trip through a Python LocalRelation, and the result composes in
+    # lazy/streaming contexts.
+    return stat_row.withColumn(
+        "p_value", _chi2_sf_col()(F.col("statistic"), F.col("dof"))
     )
+
+
+def _chi2_sf_col():
+    """Arrow-batched p-value UDF. Built lazily: pandas_udf registration
+    needs an active SparkContext, which this module must not require at
+    import time."""
+
+    @F.pandas_udf("double")
+    def chi2_sf_udf(stat: pd.Series, dof: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                chi2_sf(float(s) if s is not None else 0.0, max(int(k), 1))
+                for s, k in zip(stat, dof)
+            ]
+        )
+
+    return chi2_sf_udf
 
 
 def chi2_sf(x: float, k: int) -> float:

@@ -118,26 +118,65 @@ def cmd_run(args) -> int:
             run_partitioned,
         )
 
-        manifest = CheckpointManifest(args.checkpoint)
-        key = partition_key(rid, args.n_checkpoint_partitions)
+        # Checkpointed runs slice the table by partition, so table-scoped
+        # 'unique' rules are evaluated per slice. That is correct ONLY
+        # when the unique-rule keys functionally determine the record_id
+        # the partition key hashes (code_files: rid IS (repo,path,commit),
+        # the unique keys — equal keys ⇒ equal rid ⇒ same slice, so no
+        # cross-slice duplicate can be missed). Refuse combinations where
+        # that invariant is not established.
+        _CKPT_UNIQUE_SAFE = {"code_files"}
+        if any(r.kind == "unique" for r in ruleset.table_scoped):
+            if args.ruleset not in _CKPT_UNIQUE_SAFE:
+                raise SystemExit(
+                    f"--checkpoint with ruleset '{args.ruleset}' is unsafe: it "
+                    "has a 'unique' rule whose keys are not known to determine "
+                    "the partition key; per-slice evaluation would miss "
+                    "cross-partition duplicates"
+                )
 
-        def process(part_df, pid):
-            out = run_validation(part_df, ruleset, rid, dims=dims, sha_col=sha_col)
-            out.verdicts.write.mode("overwrite").parquet(
-                f"{args.output}/verdicts/part={pid}"
+        n_parts = args.n_checkpoint_partitions
+        manifest = CheckpointManifest(args.checkpoint)
+        key = partition_key(rid, n_parts)
+
+        def process_group(part_df, group):
+            """One validation DAG per group. Writes land under
+            __ckpt_part=<pid>/ via dynamic partition overwrite (a retried
+            group replaces only its own partitions); per-partition lineage
+            counts come from a partition-pruned, column-pruned read-back
+            of the just-written verdicts — one small job per group, not
+            one full-DAG job per partition."""
+            out = run_validation(
+                part_df.drop("__ckpt_part"), ruleset, rid, dims=dims,
+                sha_col=sha_col,
             )
-            out.violations.write.mode("overwrite").parquet(
-                f"{args.output}/violations/part={pid}"
-            )
-            row = (
-                spark.read.parquet(f"{args.output}/verdicts/part={pid}")
+            # record_id carries the same string rid hashed by `key`, so
+            # the re-derived partition column matches the input slicing
+            repart = partition_key(F.col("record_id"), n_parts)
+            for frame, sub in (
+                (out.verdicts.withColumn("__ckpt_part", repart), "verdicts"),
+                (out.violations.withColumn("__ckpt_part", repart), "violations"),
+            ):
+                (
+                    frame.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("__ckpt_part")
+                    .parquet(f"{args.output}/{sub}")
+                )
+            stats = (
+                spark.read.parquet(f"{args.output}/verdicts")
+                .filter(F.col("__ckpt_part").isin(group))
+                .groupBy("__ckpt_part")
                 .agg(F.count(F.lit(1)).alias("n"), F.sum("n_errors").alias("e"))
-                .collect()[0]
+                .collect()
             )
-            return int(row.n), int(row.e or 0)
+            return {
+                int(r["__ckpt_part"]): (int(r["n"]), int(r["e"] or 0))
+                for r in stats
+            }
 
         lineage = run_partitioned(
-            df, key, args.n_checkpoint_partitions, manifest, process
+            df, key, n_parts, manifest, process_group
         )
         summary = {
             "partitions_processed": len(lineage),

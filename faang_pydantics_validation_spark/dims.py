@@ -119,25 +119,73 @@ def label_match_violations(
     """J2: provided text must case-insensitively match a known label for the
     term; a miss is a WARNING (organism_validator_classes.py:34-47).
 
-    params: dim (term→labels table), term_field, text_field.
+    params: dim (term→labels table), term_field, text_field; optionally
+    ``ontology_field`` for the reference's same-ontology preference
+    (organism_validator_classes.py:35-40): labels from dim entries whose
+    ontology_name matches the record's declared ontology are preferred,
+    falling back to ALL of the term's labels only when none match. With
+    ``ontology_field`` set the dim must carry (term, ontology_name,
+    labels) rows — the OLS multi-doc response shape.
     """
     rid = F.col(record_id) if isinstance(record_id, str) else record_id
     dim, strategy = dims.get(rule.params["dim"])
     term_field = rule.params["term_field"]
     text_field = rule.params["text_field"]
+    ontology_field = rule.params.get("ontology_field")
 
-    labeled = _prepare_dim(
-        dim.select(
-            F.col(rule.params.get("dim_key", "term")).alias("__dim_term"),
-            F.col(rule.params.get("labels_key", "labels")).alias("__labels"),
-        ),
-        strategy,
-    )
+    dim_term = F.col(rule.params.get("dim_key", "term")).alias("__dim_term")
+    if ontology_field is not None:
+        # one entries-array row per term (array_sort for a deterministic
+        # expected-label message), pre-aggregated before the broadcast
+        labeled = _prepare_dim(
+            dim.groupBy(dim_term).agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col(
+                                rule.params.get("ontology_key", "ontology_name")
+                            ).alias("ontology_name"),
+                            F.col(rule.params.get("labels_key", "labels")).alias(
+                                "labels"
+                            ),
+                        )
+                    )
+                ).alias("__entries")
+            ),
+            strategy,
+        )
+    else:
+        labeled = _prepare_dim(
+            dim.select(
+                dim_term,
+                F.col(rule.params.get("labels_key", "labels")).alias("__labels"),
+            ),
+            strategy,
+        )
     facts = (
         df.withColumn("__rid", rid)
         .filter(F.col(term_field).isNotNull() & F.col(text_field).isNotNull())
         .join(labeled, on=F.col(term_field) == F.col("__dim_term"), how="inner")
     )
+    if ontology_field is not None:
+        # staged projections (__pref referenced twice, __labels thrice) —
+        # higher-order lambdas re-evaluate inline subtrees per reference
+        facts = facts.withColumn(
+            "__pref",
+            F.filter(
+                F.col("__entries"),
+                lambda e: F.lower(e["ontology_name"])
+                == F.lower(F.col(ontology_field)),
+            ),
+        ).withColumn(
+            "__labels",
+            F.when(
+                F.size("__pref") > 0,
+                F.flatten(F.transform(F.col("__pref"), lambda e: e["labels"])),
+            ).otherwise(
+                F.flatten(F.transform(F.col("__entries"), lambda e: e["labels"]))
+            ),
+        )
     mismatched = facts.filter(
         ~F.array_contains(F.col("__labels"), F.lower(F.col(text_field)))
     )

@@ -503,11 +503,24 @@ WHERE l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_size <= 25)
 
 
 def q_ref_label_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J2: case-insensitive label match against a term→labels dimension."""
+    """J2 with the reference's same-ontology label preference
+    (organism_validator_classes.py:35-40): the dim carries one
+    (term, ontology_name, labels) row per OLS doc; records declaring
+    ontology 'nations' match against that ontology's labels only, records
+    declaring an unknown ontology fall back to ALL labels of the term —
+    which changes the expected-label in the warning message."""
     nation = _t(spark, sf_dir, "nation")
+    term = F.col("n_nationkey").cast("string").alias("term")
     dim = nation.select(
-        F.col("n_nationkey").cast("string").alias("term"),
+        term,
+        F.lit("nations").alias("ontology_name"),
         F.array(F.lower("n_name")).alias("labels"),
+    ).unionByName(
+        nation.select(
+            term,
+            F.lit("alt").alias("ontology_name"),
+            F.array(F.concat(F.lit("alt-"), F.lower("n_name"))).alias("labels"),
+        )
     )
     facts = (
         _t(spark, sf_dir, "customer")
@@ -518,6 +531,9 @@ def q_ref_label_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("c_custkey") % 4 == 0, F.lit("WrongName"))
             .otherwise(F.col("n_name"))
             .alias("disp_name"),
+            F.when(F.col("c_custkey") % 3 == 0, F.lit("other"))
+            .otherwise(F.lit("nations"))
+            .alias("decl_ont"),
         )
     )
     dims = DimensionRegistry()
@@ -530,6 +546,7 @@ def q_ref_label_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dim": "nation_labels",
             "term_field": "term",
             "text_field": "disp_name",
+            "ontology_field": "decl_ont",
             "dim_key": "term",
             "labels_key": "labels",
         },
@@ -543,7 +560,9 @@ def q_ref_label_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_REF_LABEL_MATCH = """
 SELECT CAST(c_custkey AS VARCHAR) AS record_id, 'lbl_match' AS rule_id,
        'disp_name' AS field,
-       'Provided value ''WrongName'' doesn''t precisely match ''' || lower(n_name)
+       'Provided value ''WrongName'' doesn''t precisely match ''' ||
+       CASE WHEN c_custkey % 3 = 0 THEN 'alt-' || lower(n_name)
+            ELSE lower(n_name) END
          || ''' for term ''' || CAST(c_nationkey AS VARCHAR) || '''' AS message,
        'warning' AS severity
 FROM customer JOIN nation ON c_nationkey = n_nationkey
@@ -961,7 +980,12 @@ def q_text_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TEXT_JACCARD_PAIRS = """
 WITH toks AS (
-  SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS tk
+  -- empty-text guard: string_split_regex('') = [''] in DuckDB, [] in
+  -- the Spark tokenizer; normalize to the empty list
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE list_distinct(string_split_regex(lower(trim(text)), '\\s+'))
+         END AS tk
   FROM documents
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -991,8 +1015,11 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TEXT_QUALITY = r"""
 WITH q AS (
+  -- empty/whitespace-only guard: DuckDB string_split_regex yields ['']
+  -- on empty input (len 1) where Spark's split-and-filter yields 0
   SELECT doc_id, text, length(text) AS nc,
-         len(string_split_regex(trim(text), '\s+')) AS nt,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS nt,
          ' ' || text || ' ' AS p
   FROM documents
 )
