@@ -108,6 +108,12 @@ def main() -> None:
     big = 4 * small
 
     conf = {"spark.ui.showConsoleProgress": "false"}
+    # shuffle partitions sized by DATA, not cores: the headline and
+    # scaling inputs are 1-16M rows; 64 partitions keeps the uniqueness
+    # window's per-partition sort at ~250k rows / ~50 MB (fits memory at
+    # every core count). session.get_spark's max(cores, 8) default is a
+    # test-sized heuristic that spills at 16M rows on 2-8 cores.
+    shuffle = int(os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE", "64"))
     result: dict = {}
 
     def timed_runs(spark_session) -> tuple[float, int, int]:
@@ -128,22 +134,50 @@ def main() -> None:
     scaling_rows = int(
         os.environ.get("SPARK_GRAFT_BENCH_SCALING_ROWS", str(16 * n_rows))
     )
-    wall_small = wall_4n = None
+    # materialize every input ONCE with a mid-width session before any
+    # timed run: generation is sha256-heavy, and the local[2] scaling
+    # session must never pay it (nor should >8 threads be used — beyond
+    # that this host's kernel-time pathology makes generation SLOWER)
+    prep = get_spark(app_name="bench-prep", cores=min(cpus, 8),
+                     shuffle_partitions=shuffle, extra_conf=conf)
+    prep.sparkContext.setLogLevel("ERROR")
+    materialize_code_files(prep, 50_000)
+    materialize_code_files(prep, n_rows)
+    if do_scaling:
+        materialize_code_files(prep, scaling_rows)
+    prep.stop()
+
+    # single measured run per level (after a 50k warmup whose wall ALSO
+    # measures the fixed per-job overhead at that width): this host is
+    # burst-credit throttled, so the scaling pair must fit inside the
+    # post-idle burst window — repeated best-of runs exhaust the credit
+    # and measure the hypervisor cap, not the engine (measured: during a
+    # throttled phase local[8] ran 16M rows in 274 s vs local[2]'s 308 s
+    # — an aggregate VM cap, efficiency meaningless)
+    scaling_runs = int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_RUNS", "1"))
+    wall_small = wall_4n = ovh_small = ovh_4n = None
     if do_scaling:
         for cores, slot in ((small, "small"), (big, "4n")):
-            s = get_spark(app_name=f"bench-{cores}", cores=cores, extra_conf=conf)
+            s = get_spark(app_name=f"bench-{cores}", cores=cores,
+                          shuffle_partitions=shuffle, extra_conf=conf)
             s.sparkContext.setLogLevel("ERROR")
-            validate_code_files(s, 50_000)  # warmup
+            validate_code_files(s, 50_000)  # JIT warmup (untimed)
+            # fixed per-job overhead at this width: the identical DAG on
+            # a 50k input — compute is negligible, the wall is planning +
+            # stage barriers + AQE rounds
+            ovh = validate_code_files(s, 50_000)[0]
             wall = min(
-                validate_code_files(s, scaling_rows)[0] for _ in range(2)
+                validate_code_files(s, scaling_rows)[0]
+                for _ in range(scaling_runs)
             )
             s.stop()
             if slot == "small":
-                wall_small = wall
+                wall_small, ovh_small = wall, ovh
             else:
-                wall_4n = wall
+                wall_4n, ovh_4n = wall, ovh
 
-    spark = get_spark(app_name="bench", cores=cpus, extra_conf=conf)
+    spark = get_spark(app_name="bench", cores=cpus,
+                      shuffle_partitions=shuffle, extra_conf=conf)
     spark.sparkContext.setLogLevel("ERROR")
     wall_big, rows, violations = timed_runs(spark)
 
@@ -188,6 +222,21 @@ def main() -> None:
             "rows_per_sec_4n": round(thr_4n, 1),
             "efficiency": round(thr_4n / (4.0 * thr_small), 3),
         }
+        if ovh_small is not None and ovh_4n is not None:
+            # MEASURED overhead decomposition (not an extrapolation): the
+            # 50k-input wall at each width is the fixed per-job cost of
+            # the identical DAG; subtracting it isolates compute scaling
+            c_small = max(wall_small - ovh_small, 1e-6)
+            c_4n = max(wall_4n - ovh_4n, 1e-6)
+            result["scaling"].update(
+                {
+                    "overhead_n_sec": round(ovh_small, 3),
+                    "overhead_4n_sec": round(ovh_4n, 3),
+                    "efficiency_compute": round(
+                        (scaling_rows / c_4n) / (4.0 * scaling_rows / c_small), 3
+                    ),
+                }
+            )
     spark.stop()
     print(json.dumps(result))
 
