@@ -232,6 +232,119 @@ def cosine_topk_lsh(
     )
 
 
+def _centroid_literal(centroids: list[tuple[int, list[float]]]):
+    """(cell_id, vector) centroid table as ONE literal array of structs
+    (ndarray literals — see lsh_bucket). cell_id is negated inside the
+    struct so array_max / reverse(array_sort(...)) break score ties
+    toward the SMALLEST cell id, matching SQL's ORDER BY score DESC,
+    cell_id ASC."""
+    import numpy as np
+
+    return F.array(
+        *[
+            F.struct(
+                F.lit(-cid).alias("nc"),
+                F.lit(np.asarray(vec, dtype="float64")).alias("c"),
+            )
+            for cid, vec in centroids
+        ]
+    )
+
+
+def _cell_scores(vec: Column, cents: Column) -> Column:
+    """array<struct<score, nc>> — rounded cosine against every centroid,
+    shaped so struct ordering = (score, then smaller cell first)."""
+    return F.transform(
+        cents,
+        lambda s: F.struct(
+            F.round(cosine(vec, s["c"]), 6).alias("score"),
+            s["nc"].alias("nc"),
+        ),
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """IVF cell assignment, computed ROW-LOCALLY: the centroid table is
+    driver-small by construction (n_cells ≪ corpus), so it ships as a
+    literal and argmax-cosine is an expression fold — the corpus is
+    never shuffled or windowed to be assigned. Ties break toward the
+    smaller cell id."""
+    cents = _centroid_literal(centroids)
+    best = F.array_max(_cell_scores(F.col(vec_col), cents))
+    return df.withColumn(cell_col, -best["nc"])
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF-bucketed approximate top-k — the inverted-file scale path
+    next to :func:`cosine_topk_lsh`.
+
+    Corpus vectors are assigned to their argmax-cosine centroid cell
+    (row-local, zero shuffle); each query probes its ``nprobe`` best
+    cells; candidates are only corpus rows in probed cells, so per-query
+    scoring cost is ≈ |corpus| × nprobe / n_cells and the crossJoin
+    never materializes. The candidate join keys on cell id — uniform
+    by construction (cells are argmax partitions of the sphere).
+
+    ``centroids`` — (cell_id, vector) list. Selection strategy is the
+    caller's (k-means, sampled ids…); it only affects recall, never
+    correctness of the returned scores. Output schema matches
+    :func:`cosine_topk`; all scores rounded to 6dp before ranking with
+    id tie-breaks, so results are exactly reproducible (and DuckDB-
+    oracle comparable — see queries.sim_cosine_topk_ivf)."""
+    cents = _centroid_literal(centroids)
+    c = ivf_assign(corpus, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        F.col("cell"),
+    )
+    # per-query probe list: nprobe best cells, row-local sort of the
+    # (score, nc) structs — reverse(asc) = score desc, cell asc on ties
+    probes = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        F.explode(
+            F.slice(
+                F.reverse(F.array_sort(_cell_scores(F.col(vec_col), cents))),
+                1,
+                nprobe,
+            )
+        ).alias("__probe"),
+    ).select("query_id", "__qvec", (-F.col("__probe.nc")).alias("cell"))
+    scored = c.join(F.broadcast(probes), "cell").select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6).alias("score"),
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "score", F.col("rank").cast("int").alias("rank")
+        )
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     dim: int,

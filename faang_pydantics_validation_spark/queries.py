@@ -1145,6 +1145,64 @@ SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 10
 """
 
 
+def q_sim_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-k, ORACLE-EXACT: 16 cells seeded by
+    the first 16 corpus vectors (deterministic, SQL-expressible seeding
+    — the strategy is pluggable and affects recall only), nprobe=3.
+    Every score rounds to 6dp before ranking with id tie-breaks, and the
+    dot product is the bitwise-reproducible ordered fold, so the DuckDB
+    twin hash-matches exactly."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.filter(F.col("vec_id") < 16)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    centroids = [(int(r.vec_id), list(r.embedding)) for r in cent_rows]
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return sim.cosine_topk_ivf(emb, queries, centroids, k=10, nprobe=3)
+
+
+def _sql_cos(a: str, b: str) -> str:
+    return (
+        f"round({_sql_dot(a, b)} / (sqrt({_sql_dot(a, a)})"
+        f" * sqrt({_sql_dot(b, b)})), 6)"
+    )
+
+
+SQL_SIM_COSINE_TOPK_IVF = f"""
+WITH cents AS (SELECT vec_id AS cell_id, embedding AS c FROM embeddings
+               WHERE vec_id < 16),
+     asg AS (
+       SELECT vec_id, embedding, cell_id FROM (
+         SELECT e.vec_id, e.embedding, ct.cell_id,
+                ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                  ORDER BY {_sql_cos('e.embedding', 'ct.c')} DESC,
+                           ct.cell_id) AS rn
+         FROM embeddings e CROSS JOIN cents ct) t
+       WHERE rn = 1),
+     q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id % 50 = 0),
+     probes AS (
+       SELECT query_id, qv, cell_id FROM (
+         SELECT q.query_id, q.qv, ct.cell_id,
+                ROW_NUMBER() OVER (PARTITION BY q.query_id
+                  ORDER BY {_sql_cos('q.qv', 'ct.c')} DESC,
+                           ct.cell_id) AS rn
+         FROM q CROSS JOIN cents ct) t
+       WHERE rn <= 3),
+     s AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+                  {_sql_cos('p.qv', 'a.embedding')} AS score
+           FROM probes p JOIN asg a USING (cell_id)
+           WHERE a.vec_id <> p.query_id),
+     r AS (SELECT query_id, neighbor_id, score,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, neighbor_id) AS INT) AS rank
+           FROM s)
+SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 10
+"""
+
+
 def q_sim_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k (xxhash64 planes; rows-only check)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -1643,6 +1701,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
     "sim_cosine_topk": q_sim_cosine_topk,
+    "sim_cosine_topk_ivf": q_sim_cosine_topk_ivf,
     "sim_cosine_topk_lsh": q_sim_cosine_topk_lsh,
     "sim_embedding_neardup": q_sim_embedding_neardup,
     "multimodal_meta": q_multimodal_meta,
@@ -1693,6 +1752,7 @@ ORACLE_SQL: dict[str, str] = {
     "text_langid": SQL_TEXT_LANGID,
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
     "sim_cosine_topk": SQL_SIM_COSINE_TOPK,
+    "sim_cosine_topk_ivf": SQL_SIM_COSINE_TOPK_IVF,
     "multimodal_meta": SQL_MULTIMODAL_META,
     "stats_grouped_rollup": SQL_STATS_GROUPED_ROLLUP,
     "export_purl": SQL_EXPORT_PURL,

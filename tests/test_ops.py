@@ -131,6 +131,49 @@ def test_lsh_topk_is_subset_scored_identically(spark, vectors):
         assert abs(exact[r.neighbor_id] - r.score) < 1e-9
 
 
+def test_ivf_assign_is_row_local_and_deterministic(spark, vectors):
+    """Cell assignment is an expression fold over a literal centroid
+    table — zero Exchange, and identical across runs."""
+    cents = [
+        (i, r.embedding)
+        for i, r in enumerate(
+            vectors.filter(F.col("vec_id") < 8).collect()
+        )
+    ]
+    assigned = sim.ivf_assign(vectors, cents)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    a1 = {r.vec_id: r.cell for r in assigned.collect()}
+    a2 = {r.vec_id: r.cell for r in sim.ivf_assign(vectors, cents).collect()}
+    assert a1 == a2
+    assert set(a1.values()) <= set(range(8))
+
+
+def test_ivf_topk_matches_exact_scores(spark, vectors):
+    """IVF candidates are a subset of the corpus, scored IDENTICALLY to
+    the exact path (same rounded fold); with centroids covering every
+    direction and nprobe=8 (all cells) the result EQUALS exact top-k."""
+    cents = [
+        (i, r.embedding)
+        for i, r in enumerate(vectors.filter(F.col("vec_id") < 8).collect())
+    ]
+    qs = vectors.filter(F.col("vec_id") == 0)
+    exact = {
+        (r.query_id, r.neighbor_id): round(r.score, 6)
+        for r in sim.cosine_topk(vectors, qs, k=40).collect()
+    }
+    approx = sim.cosine_topk_ivf(vectors, qs, cents, k=5, nprobe=2).collect()
+    assert approx
+    for r in approx:
+        assert abs(exact[(r.query_id, r.neighbor_id)] - r.score) < 1e-9
+    # full probe == exact top-k (rank-for-rank)
+    full = sim.cosine_topk_ivf(vectors, qs, cents, k=5, nprobe=8).collect()
+    exact5 = sim.cosine_topk(vectors, qs, k=5).collect()
+    got = sorted((r.rank, r.neighbor_id) for r in full)
+    want = sorted((r.rank, r.neighbor_id) for r in exact5)
+    assert got == want
+
+
 def test_hyperplane_matrix_matches_spark_xxhash64(spark):
     """The driver-side xxHash64 reimplementation is bit-identical to
     Spark's F.xxhash64(lit(p), lit(j)) — the invariant that keeps
