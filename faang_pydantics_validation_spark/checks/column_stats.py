@@ -125,3 +125,32 @@ def observe_metrics(df: DataFrame, name: str = "validation_metrics"):
         F.sum((~F.col("passed")).cast("long")).alias("invalid_records"),
     )
     return observed, obs
+
+
+def grouped_percentiles(
+    df: DataFrame,
+    value_col: str,
+    by: list[str],
+    percentiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    exact: bool = True,
+) -> DataFrame:
+    """Quantile profile per group — one partial+final aggregate.
+
+    ``exact=True`` uses Spark's exact interpolated ``percentile``
+    (linear interpolation on the sorted group — value-identical to
+    DuckDB's ``quantile_cont``, which is what makes the driver-oracle
+    hash comparison possible). At the 100 TB scale exact per-group
+    sorting is the wrong physics: flip ``exact=False`` for
+    ``approx_percentile`` — the mergeable t-digest-style sketch with the
+    same output shape, error bounded by the accuracy knob, one pass,
+    O(sketch) memory per group.
+    """
+    fn = F.percentile if exact else (
+        lambda c, p: F.approx_percentile(c, p, 10_000)
+    )
+    aggs = [
+        F.round(fn(F.col(value_col), p), 6).alias(f"p{int(p * 100)}")
+        for p in percentiles
+    ]
+    aggs.append(F.count(F.lit(1)).cast("long").alias("n"))
+    return df.groupBy(*by).agg(*aggs)

@@ -834,6 +834,29 @@ GROUP BY 1, 2
 """
 
 
+def q_stats_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quantile profile (exact interpolated percentiles —
+    value-identical to DuckDB quantile_cont; the 100 TB path flips to
+    the approx_percentile t-digest sketch, same shape)."""
+    from faang_pydantics_validation_spark.checks.column_stats import (
+        grouped_percentiles,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return grouped_percentiles(docs, "n_chars", by=["lang"])
+
+
+SQL_STATS_PERCENTILES = """
+SELECT lang,
+       round(quantile_cont(n_chars, 0.25), 6) AS p25,
+       round(quantile_cont(n_chars, 0.5), 6) AS p50,
+       round(quantile_cont(n_chars, 0.75), 6) AS p75,
+       round(quantile_cont(n_chars, 0.95), 6) AS p95,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM documents GROUP BY lang
+"""
+
+
 def q_drift_chisquare(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     out = chi_square_drift(
@@ -1690,6 +1713,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "xrec_uniqueness": q_xrec_uniqueness,
     "stats_columns": q_stats_columns,
     "stats_length_histogram": q_stats_length_histogram,
+    "stats_percentiles": q_stats_percentiles,
     "drift_chisquare": q_drift_chisquare,
     "drift_ks": q_drift_ks,
     "dedup_exact": q_dedup_exact,
@@ -1743,6 +1767,7 @@ ORACLE_SQL: dict[str, str] = {
     "xrec_uniqueness": SQL_XREC_UNIQUENESS,
     "stats_columns": SQL_STATS_COLUMNS,
     "stats_length_histogram": SQL_STATS_LENGTH_HISTOGRAM,
+    "stats_percentiles": SQL_STATS_PERCENTILES,
     "drift_chisquare": SQL_DRIFT_CHISQUARE,
     "drift_ks": SQL_DRIFT_KS,
     "dedup_exact": SQL_DEDUP_EXACT,

@@ -90,6 +90,29 @@ def violation_rate_by_window(
     )
 
 
+def dedup_stream(
+    stream_df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps a key only until the
+    watermark passes it, so state is O(keys per watermark window) —
+    the streaming answer to the batch sha-groupBy dedup
+    (ops/dedup.exact_duplicate_groups). Duplicates arriving within the
+    watermark horizon are suppressed; older re-arrivals are the batch
+    checkpoint sweep's job (same division of labor as uniqueness —
+    module docstring).
+
+    Plain ``dropDuplicates`` on a stream would grow state forever; this
+    is the operator the 100 TB perpetual-ingest path actually deploys.
+    """
+    return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
 def start_violation_sink(
     violations: DataFrame,
     path: str,

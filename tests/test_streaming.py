@@ -87,3 +87,42 @@ def test_windowed_rate(spark, tmp_path):
     assert rows[0].rows == 2 and rows[0].rows_with_errors == 1
     assert rows[1].rows == 3 and rows[1].rows_with_errors == 2
     assert rows[1].total_errors == 2
+
+
+def test_stream_dedup_bounded_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates within the watermark
+    horizon are suppressed across micro-batches, with keyed state
+    evicted as the watermark advances (bounded-state streaming dedup)."""
+    import datetime
+
+    from faang_pydantics_validation_spark.streaming.incremental import (
+        dedup_stream,
+    )
+
+    src = str(tmp_path / "dd_in")
+    t = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    # batch 1 carries an in-batch duplicate; batch 2 re-sends key 1
+    _write_batch(spark, src, [(1, "ok", t), (1, "ok", t), (2, "meh", t)])
+    _write_batch(
+        spark,
+        src,
+        [(1, "ok", t + datetime.timedelta(minutes=1)), (3, "ok", t)],
+    )
+
+    deduped = dedup_stream(
+        read_file_stream(spark, src, SCHEMA, max_files=1),
+        keys=["id"],
+        ts_col="ts",
+        watermark="10 minutes",
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dd")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select id from dd").collect()
+    ids = sorted(r.id for r in rows)
+    assert ids == [1, 2, 3], ids
