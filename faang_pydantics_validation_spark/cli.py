@@ -123,17 +123,19 @@ def cmd_run(args) -> int:
         # when the unique-rule keys functionally determine the record_id
         # the partition key hashes (code_files: rid IS (repo,path,commit),
         # the unique keys — equal keys ⇒ equal rid ⇒ same slice, so no
-        # cross-slice duplicate can be missed). Refuse combinations where
-        # that invariant is not established.
-        _CKPT_UNIQUE_SAFE = {"code_files"}
-        if any(r.kind == "unique" for r in ruleset.table_scoped):
-            if args.ruleset not in _CKPT_UNIQUE_SAFE:
-                raise SystemExit(
-                    f"--checkpoint with ruleset '{args.ruleset}' is unsafe: it "
-                    "has a 'unique' rule whose keys are not known to determine "
-                    "the partition key; per-slice evaluation would miss "
-                    "cross-partition duplicates"
-                )
+        # cross-slice duplicate can be missed). The ruleset DECLARES that
+        # invariant (RuleSet.unique_keys_determine_record_id); refuse
+        # combinations that don't.
+        if (
+            any(r.kind == "unique" for r in ruleset.table_scoped)
+            and not ruleset.unique_keys_determine_record_id
+        ):
+            raise SystemExit(
+                f"--checkpoint with ruleset '{args.ruleset}' is unsafe: it "
+                "has a 'unique' rule whose keys are not declared to determine "
+                "the partition key (RuleSet.unique_keys_determine_record_id); "
+                "per-slice evaluation would miss cross-partition duplicates"
+            )
 
         n_parts = args.n_checkpoint_partitions
         manifest = CheckpointManifest(args.checkpoint)
@@ -163,13 +165,21 @@ def cmd_run(args) -> int:
                     .partitionBy("__ckpt_part")
                     .parquet(f"{args.output}/{sub}")
                 )
-            stats = (
-                spark.read.parquet(f"{args.output}/verdicts")
-                .filter(F.col("__ckpt_part").isin(group))
-                .groupBy("__ckpt_part")
-                .agg(F.count(F.lit(1)).alias("n"), F.sum("n_errors").alias("e"))
-                .collect()
-            )
+            from pyspark.errors import AnalysisException
+
+            try:
+                stats = (
+                    spark.read.parquet(f"{args.output}/verdicts")
+                    .filter(F.col("__ckpt_part").isin(group))
+                    .groupBy("__ckpt_part")
+                    .agg(F.count(F.lit(1)).alias("n"), F.sum("n_errors").alias("e"))
+                    .collect()
+                )
+            except AnalysisException:
+                # an all-empty group writes no files at all; reading the
+                # (still nonexistent) output dir raises — record zeros so
+                # the empty hash slots still get manifest entries
+                return {}
             return {
                 int(r["__ckpt_part"]): (int(r["n"]), int(r["e"] or 0))
                 for r in stats

@@ -189,7 +189,7 @@ def rules_from_json_schema(
         if styp == "object" and "properties" in sub:
             _struct_property(em, name, sub, required=name in top_required)
         elif styp == "array" and isinstance(sub.get("items"), dict):
-            _array_property(em, name, sub)
+            _array_property(em, name, sub, required=name in top_required)
         else:
             _scalar(em, name, name, sub,
                     required=name in top_required, tier="optional")
@@ -227,9 +227,13 @@ def _struct_property(em: _Emitter, name: str, sub: dict[str, Any], *, required: 
                 severity="warning", tier="recommended", layer=2)
 
 
-def _array_property(em: _Emitter, name: str, sub: dict[str, Any]) -> None:
+def _array_property(
+    em: _Emitter, name: str, sub: dict[str, Any], *, required: bool = False
+) -> None:
     items = sub["items"]
     tier = _tier_of(items) if isinstance(items, dict) else "optional"
+    if required:
+        em.emit(f"{name}_required", name, "required", tier=tier)
     lo, hi = sub.get("minItems"), sub.get("maxItems")
     if lo is not None or hi is not None:
         em.emit(f"{name}_cardinality", name, "cardinality",
@@ -329,7 +333,9 @@ def _scalar(em: _Emitter, suffix: str, path: str, fs: dict[str, Any], *,
 
 
 def _sql_str(v: Any) -> str:
-    return "'" + str(v).replace("'", "''") + "'"
+    from faang_pydantics_validation_spark.fixtures import _sql_str as quote
+
+    return quote(v)
 
 
 def ruleset_from_json_schema(

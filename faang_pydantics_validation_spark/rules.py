@@ -145,11 +145,18 @@ class RuleSet:
     known_fields — top-level columns the schema allows; any other non-null
     column is a closed-schema violation (reference `extra = "forbid"`,
     organism_ruleset.py:247). Empty tuple disables the check.
+
+    unique_keys_determine_record_id — declares that every `unique` rule's
+    keys functionally determine the record id used for checkpoint
+    partitioning (equal keys ⇒ same partition slice), making per-slice
+    uniqueness evaluation equal to global evaluation. Required for
+    resumable (--checkpoint) runs of rulesets that carry a unique rule.
     """
 
     name: str
     rules: tuple[Rule, ...]
     known_fields: tuple[str, ...] = ()
+    unique_keys_determine_record_id: bool = False
 
     def __post_init__(self) -> None:
         seen: set[str] = set()

@@ -26,6 +26,9 @@ def code_files_ruleset() -> RuleSet:
     return RuleSet(
         name="code_files",
         known_fields=("repo", "path", "commit", "lang", "content"),
+        # the record id IS concat(repo, path, commit) — the unique keys —
+        # so per-checkpoint-slice uniqueness equals global uniqueness
+        unique_keys_determine_record_id=True,
         rules=(
             Rule("cf_repo_required", "repo", "required", tier="mandatory"),
             Rule("cf_path_required", "path", "required", tier="mandatory"),

@@ -186,11 +186,16 @@ def _build_verdicts(
     """
     fast_unique, fast_member, slow = _fast_table_rules(ruleset, dims, df)
 
+    # carried fields get opaque aliases: a select of a DOTTED path
+    # ("organism.term") yields a column named by the LEAF ("term"), so
+    # referencing the original path downstream would fail to resolve —
+    # and two nested fields sharing a leaf name would collide
     carry: set[str] = set()
     for rule in fast_unique:
         carry.update(rule.params["keys"])
     for rule in fast_member:
         carry.add(rule.field)
+    alias = {c: f"__carry_{i}" for i, c in enumerate(sorted(carry))}
 
     base_cols = [
         F.col("record_id"),
@@ -199,7 +204,7 @@ def _build_verdicts(
     ]
     if sha_col is not None and sha_col in df.columns:
         base_cols.append(F.sha2(F.col(sha_col), 256).alias("content_sha256"))
-    base_cols.extend(F.col(c) for c in sorted(carry))
+    base_cols.extend(F.col(c).alias(a) for c, a in alias.items())
     staged = out.annotated.select(*base_cols)
 
     err_terms: list[Column] = []
@@ -212,6 +217,7 @@ def _build_verdicts(
     for i, rule in enumerate(fast_member):
         dim, _strategy = dims.get(rule.params["dim"])
         dim_key = rule.params.get("dim_key", rule.field)
+        field = F.col(alias[rule.field])
         hit = f"__hit_{i}"
         flags = F.broadcast(
             dim.select(F.col(dim_key).alias(f"__dimk_{i}"))
@@ -219,21 +225,28 @@ def _build_verdicts(
             .withColumn(hit, F.lit(True))
         )
         staged = staged.join(
-            flags, on=staged[rule.field] == flags[f"__dimk_{i}"], how="left"
+            flags, on=field == flags[f"__dimk_{i}"], how="left"
         ).drop(f"__dimk_{i}")
-        miss = F.col(rule.field).isNotNull() & F.col(hit).isNull()
+        miss = field.isNotNull() & F.col(hit).isNull()
         sentinels = tuple(rule.params.get("sentinels", ()))
         if sentinels:
-            miss = miss & ~F.col(rule.field).isin(*sentinels)
+            miss = miss & ~field.isin(*sentinels)
         _add(rule, miss)
 
     if fast_unique:
         from pyspark.sql import Window
 
         for rule in fast_unique:
-            keys = list(rule.params["keys"])
+            keys = [F.col(alias[k]) for k in rule.params["keys"]]
             w = Window.partitionBy(*keys)
-            _add(rule, F.count(F.lit(1)).over(w) > 1)
+            # NULL-key rows are excluded: presence is the `required`
+            # rule's job, and the violations frame's key join is
+            # null-unsafe — counting the NULL group as duplicates would
+            # make verdicts contradict the violations output
+            keys_present = keys[0].isNotNull()
+            for k in keys[1:]:
+                keys_present = keys_present & k.isNotNull()
+            _add(rule, keys_present & (F.count(F.lit(1)).over(w) > 1))
 
     if slow:
         # legacy path for the non-column-expressible remainder only

@@ -179,6 +179,12 @@ def pool_ruleset() -> RuleSet:
     """pool_of_specimens — list-shaped derived_from (≥2 members make a
     pool meaningful, but the reference accepts ≥1; we require ≥1)."""
     rules = _core_rules("pool", "pool of specimens") + [
+        # cardinality passes on NULL by design (presence is `required`'s
+        # job) — without this rule a pool OMITTING derived_from would
+        # validate clean
+        Rule("pool_derived_from_required", "derived_from", "required",
+             tier="mandatory",
+             message="pool must reference the specimens it was created from"),
         Rule("pool_derived_from_cardinality", "derived_from", "cardinality",
              params={"min": 1},
              message="pool must reference at least one specimen"),

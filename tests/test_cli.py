@@ -36,6 +36,32 @@ def test_cli_run_synthetic(tmp_path, spark):
     assert os.path.exists(f"{out_dir}/violations")
 
 
+def test_cli_checkpoint_sparse_input_empty_groups(tmp_path, spark):
+    """1 row into 64 hash slots: the single synthetic row lands in slot
+    50 (deterministic), so the first six groups write NOTHING — the
+    read-back guard must record zeros instead of crashing on the
+    not-yet-existing output dir, and every slot still gets a manifest
+    entry."""
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    rc = main(
+        [
+            "run",
+            "--synthetic", "1",
+            "--ruleset", "code_files",
+            "--output", out_dir,
+            "--checkpoint", ckpt,
+            "--n-checkpoint-partitions", "64",
+            "--cores", "4",
+        ]
+    )
+    assert rc == 0
+    summary = json.load(open(f"{out_dir}/summary.json"))
+    assert summary["rows"] == 1
+    assert summary["partitions_processed"] == 64
+    assert len(os.listdir(f"{ckpt}/manifest")) == 64
+
+
 def test_cli_checkpointed_run_and_resume(tmp_path, spark):
     """End-to-end resumable run: grouped jobs, dynamic-partition output
     layout, per-partition lineage; a second run resumes to a no-op with
