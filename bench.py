@@ -55,6 +55,7 @@ BENCH_QUERIES = (
     "dedup_exact",
     "text_quality",
     "sim_cosine_topk",
+    "sim_cosine_topk_ivf",
 )
 
 
