@@ -184,7 +184,7 @@ def organism_record_id() -> Column:
     return F.coalesce(F.col("custom.sample_name.value"), F.lit("unknown"))
 
 
-def validate_organism_batch(df, external_parents=None):
+def validate_organism_batch(df, external_parents=None, ruleset=None):
     """Full lifecycle — the analog of
     ``PydanticValidator.validate_with_pydantic``
     (organism_validation.py:150-209):
@@ -196,6 +196,10 @@ def validate_organism_batch(df, external_parents=None):
        flip the per-record verdict — exactly the reference's behavior
        (:200-207, errors appended to already-valid records).
 
+    ``ruleset`` — defaults to the hand-written :func:`organism_ruleset`;
+    pass :func:`organism_ruleset_from_json`'s result to run the
+    reference's declarative file through the same lifecycle.
+
     Returns (verdicts_df, violations_df).
     """
     from faang_pydantics_validation_spark.checks.relationships import (
@@ -206,7 +210,7 @@ def validate_organism_batch(df, external_parents=None):
     )
     from faang_pydantics_validation_spark.engine import ValidationEngine
 
-    out = ValidationEngine(organism_ruleset()).validate(
+    out = ValidationEngine(ruleset or organism_ruleset()).validate(
         df, record_id=organism_record_id()
     )
     valid = out.annotated.filter(F.col("passed"))

@@ -168,6 +168,27 @@ def test_organism_json_equivalence(spark, golden_batch):
     assert json_viol - hand_viol == {("NOSEX", "sex.text", "error")}
 
 
+def test_json_ruleset_full_lifecycle(spark, golden_batch):
+    """The imported ruleset drives the FULL lifecycle (fused pass +
+    relationship joins) through validate_organism_batch, with the same
+    verdicts as the hand-written ruleset's run."""
+    from faang_pydantics_validation_spark.organism import (
+        validate_organism_batch,
+    )
+
+    v_hand, _ = validate_organism_batch(golden_batch)
+    v_json, viol_json = validate_organism_batch(
+        golden_batch, ruleset=organism_ruleset_from_json(ORGANISM_JSON)
+    )
+    hand = {r.record_id: r.passed for r in v_hand.collect()}
+    json_ = {r.record_id: r.passed for r in v_json.collect()}
+    assert hand == json_
+    # relationship checks still ran over the JSON-validated batch
+    assert {"org_parent_missing", "org_species_mismatch"} & {
+        r.rule_id for r in viol_json.collect()
+    } == set()  # golden batch has no bad edges among VALID records
+
+
 def test_json_ruleset_short_circuit(spark, golden_batch):
     """Layer-1 JSON failures suppress the imported layer-2 ontology
     checks, matching the reference lifecycle short-circuit."""
