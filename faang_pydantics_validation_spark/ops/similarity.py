@@ -352,15 +352,29 @@ def embedding_near_dup_pairs(
     n_planes: int = 12,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = 200,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH-cohabiting pairs with
     cosine ≥ threshold → (id_a, id_b, score). The all-pairs check never
-    materializes — only within-bucket pairs are scored."""
+    materializes — only within-bucket pairs are scored.
+
+    ``max_bucket_size`` drops over-full buckets BEFORE pairing, exactly
+    like minhash/simhash_candidates (ops/dedup.py): degenerate corpora
+    (zero vectors, template embeddings) collapse into few buckets at 12
+    planes and the within-bucket self-join is quadratic per bucket —
+    the cap bounds pair fan-out to max_bucket_size² per bucket at any
+    corpus size. Over-full buckets are template collision, not
+    near-duplication. None disables (exhaustive for small corpora)."""
     h = df.select(
         F.col(id_col).alias("doc_id"),
         F.col(vec_col).alias("__vec"),
         lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
     )
+    if max_bucket_size is not None:
+        sizes = h.groupBy("bucket").agg(F.count(F.lit(1)).alias("__bsize"))
+        h = h.join(
+            sizes.filter(F.col("__bsize") <= max_bucket_size), "bucket"
+        ).drop("__bsize")
     left, right = h.alias("l"), h.alias("r")
     pairs = left.join(
         right,

@@ -35,7 +35,9 @@ ORGANISM_SCHEMA = """
     describedBy string,
     sample_description struct<value: string>,
     same_as struct<value: string>,
-    custom struct<sample_name: struct<value: string>>,
+    alias struct<value: string>,
+    custom struct<sample_name: struct<value: string>,
+                  biosample_id: struct<value: string>>,
     material struct<text: string, term: string, ontology_name: string>,
     project struct<value: string>,
     secondary_project array<struct<value: string>>,
@@ -63,6 +65,10 @@ ORGANISM_SCHEMA = """
 #: fields. A record nesting its core block under `samples_core` (the
 #: sample1.json fixture shape) therefore fails with 'extra fields not
 #: permitted' on samples_core — exactly the reference's parse behavior.
+#: `alias` is deliberately ABSENT: the Pydantic model has no alias field,
+#: so an alias-bearing record fails parse as an extra field — yet the id
+#: resolver still reads it (organism_validator_classes.py:241-242), which
+#: is why ORGANISM_SCHEMA carries the column anyway.
 ORGANISM_KNOWN_FIELDS = (
     "describedBy",
     "sample_description",
@@ -178,13 +184,45 @@ def organism_ruleset_from_json(path: str) -> RuleSet:
     )
 
 
-def organism_record_id() -> Column:
-    """R13 id resolution (organism_validator_classes.py:237-245):
-    custom.sample_name.value, else 'unknown'."""
-    return F.coalesce(F.col("custom.sample_name.value"), F.lit("unknown"))
+def organism_record_id(
+    action: str = "new", index_col: str | None = None
+) -> Column:
+    """R13 id resolution — full reference fallback chain.
+
+    Two resolvers exist in the reference and both are mirrored here:
+
+    * ``get_organism_identifier`` (organism_validator_classes.py:237-245):
+      ``custom.sample_name.value`` — or ``custom.biosample_id.value`` when
+      ``action='update'`` (:238) — else ``alias.value`` when the alias
+      struct is present (else 'unknown' for a value-less alias, :241-242),
+      else 'unknown' (:244).
+    * the batch loop's positional default
+      (organism_validation.py:168): ``custom.sample_name.value`` else
+      ``organism_{i}``. Positional order is undefined on a distributed
+      table, so the ordinal is caller-supplied: pass ``index_col`` naming
+      an integer column and that branch is used INSTEAD of the
+      alias/unknown chain (matching the loop, which never consults alias).
+    """
+    col_name = "biosample_id" if action == "update" else "sample_name"
+    if index_col is not None:
+        return F.coalesce(
+            F.col(f"custom.{col_name}.value"),
+            F.concat(F.lit("organism_"), F.col(index_col).cast("string")),
+        )
+    candidate = F.col(f"custom.{col_name}")
+    return (
+        F.when(candidate.isNotNull(), candidate["value"])
+        .when(
+            F.col("alias").isNotNull(),
+            F.coalesce(F.col("alias.value"), F.lit("unknown")),
+        )
+        .otherwise(F.lit("unknown"))
+    )
 
 
-def validate_organism_batch(df, external_parents=None, ruleset=None):
+def validate_organism_batch(
+    df, external_parents=None, ruleset=None, action="new", index_col=None
+):
     """Full lifecycle — the analog of
     ``PydanticValidator.validate_with_pydantic``
     (organism_validation.py:150-209):
@@ -199,6 +237,8 @@ def validate_organism_batch(df, external_parents=None, ruleset=None):
     ``ruleset`` — defaults to the hand-written :func:`organism_ruleset`;
     pass :func:`organism_ruleset_from_json`'s result to run the
     reference's declarative file through the same lifecycle.
+    ``action`` / ``index_col`` parameterize R13 id resolution — see
+    :func:`organism_record_id`.
 
     Returns (verdicts_df, violations_df).
     """
@@ -211,7 +251,7 @@ def validate_organism_batch(df, external_parents=None, ruleset=None):
     from faang_pydantics_validation_spark.engine import ValidationEngine
 
     out = ValidationEngine(ruleset or organism_ruleset()).validate(
-        df, record_id=organism_record_id()
+        df, record_id=organism_record_id(action=action, index_col=index_col)
     )
     valid = out.annotated.filter(F.col("passed"))
     edges = explode_edges(

@@ -223,6 +223,25 @@ def test_embedding_near_dup(spark, vectors):
     assert all(p.score >= 0.999 for p in got)
 
 
+def test_embedding_near_dup_bucket_cap(spark):
+    """Degenerate corpus: 60 identical vectors all land in ONE LSH bucket
+    — the quadratic collapse max_bucket_size exists to stop (mirrors
+    minhash/simhash caps). Capped ⇒ zero pairs from the over-full bucket;
+    None ⇒ exhaustive n·(n-1)/2."""
+    same = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    capped = sim.embedding_near_dup_pairs(
+        same, dim=4, threshold=0.5, n_planes=3, max_bucket_size=10
+    )
+    assert capped.count() == 0
+    uncapped = sim.embedding_near_dup_pairs(
+        same, dim=4, threshold=0.5, n_planes=3, max_bucket_size=None
+    )
+    assert uncapped.count() == 60 * 59 // 2
+
+
 def test_text_quality_and_langid(spark, docs):
     out = {r.doc_id: r for r in tx.quality_metrics(docs, "text").collect()}
     assert out[1].n_tokens == 9

@@ -191,3 +191,49 @@ def test_warnings_do_not_invalidate(spark, batch):
     )
     row = {r.record_id: r for r in out.annotated.collect()}["NOBREED"]
     assert row.passed and row.n_warnings >= 1
+
+
+def test_record_id_fallback_chain(spark):
+    """R13 full fallback chain (organism_validator_classes.py:237-245 +
+    organism_validation.py:168): sample_name → alias → 'unknown';
+    biosample_id when action='update'; organism_{i} positional default."""
+    rows = [
+        # 1. custom.sample_name wins over alias
+        {"custom": {"sample_name": {"value": "NAMED"}},
+         "alias": {"value": "ALIAS0"}},
+        # 2. no sample_name → alias.value
+        {"alias": {"value": "ALIAS1"}},
+        # 3. alias struct present but value-less → 'unknown' (:242 default)
+        {"alias": {"value": None}},
+        # 4. nothing at all → 'unknown'
+        {},
+        # 5. update-mode id lives at custom.biosample_id
+        {"custom": {"sample_name": {"value": "IGNORED"},
+                    "biosample_id": {"value": "SAMEA123"}}},
+    ]
+    df = spark.createDataFrame(
+        [{**json.loads(json.dumps(r)), "idx": i} for i, r in enumerate(rows)],
+        f"struct<{ORGANISM_SCHEMA}, idx int>",
+    )
+
+    new_ids = [r.rid for r in
+               df.orderBy("idx").select(organism_record_id().alias("rid")).collect()]
+    assert new_ids == ["NAMED", "ALIAS1", "unknown", "unknown", "IGNORED"]
+
+    upd_ids = [r.rid for r in
+               df.orderBy("idx")
+               .select(organism_record_id(action="update").alias("rid"))
+               .collect()]
+    # update mode: only row 5 carries biosample_id; rows 1-4 fall through
+    # the same alias/unknown chain (row 1's custom has no biosample_id →
+    # candidate struct null → alias)
+    assert upd_ids == ["ALIAS0", "ALIAS1", "unknown", "unknown", "SAMEA123"]
+
+    # batch-loop positional default (organism_validation.py:168): no alias
+    # consultation, organism_{i} for any record without a sample_name
+    pos_ids = [r.rid for r in
+               df.orderBy("idx")
+               .select(organism_record_id(index_col="idx").alias("rid"))
+               .collect()]
+    assert pos_ids == ["NAMED", "organism_1", "organism_2", "organism_3",
+                       "IGNORED"]
