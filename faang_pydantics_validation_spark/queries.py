@@ -1274,9 +1274,11 @@ FROM documents
 
 def q_organism_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-parity surface: the reference's organism lifecycle over an
-    inline nested-record batch (rows-only — nested structs have no
-    registered DuckDB view; exact expectations live in
-    tests/test_organism.py). Returns the violation rows."""
+    inline nested-record batch. Returns the violation rows; the oracle is
+    the hand-derived expectation set as a VALUES literal (the inputs are
+    nested structs DuckDB has no view over, but the OUTPUT is plain
+    strings — so the driver hash-checks the full lifecycle end to end;
+    exact per-rule derivations live in tests/test_organism.py)."""
     import json as _json
 
     from faang_pydantics_validation_spark.organism import (
@@ -1315,12 +1317,26 @@ def q_organism_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return violations
 
 
+SQL_ORGANISM_BATCH = """
+SELECT * FROM (VALUES
+  ('BADPROJ', 'org_project_const', 'project.value',
+   'unexpected value; permitted: ''FAANG''', 'error'),
+  ('BADSEX', 'org_sex_prefix', 'sex.term',
+   'Sex term ''EFO:0000001'' should be from PATO ontology', 'error'),
+  ('DANGLING', 'org_parent_missing', 'child_of',
+   'Relationships part: no entity ''MISSING'' found', 'error')
+) AS t(record_id, rule_id, field, message, severity)
+"""
+
+
 def q_sample_types_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-type lifecycle (specimen/pool/cell + organism): per-type
     fused rules + ONE cross-type relationship pass (J4 existence, J5
-    allowed parent kind over ALLOWED_RELATIONSHIPS). Rows-only — nested
-    structs; exact expectations in tests/test_samples.py. Returns
-    violation rows sorted for stability."""
+    allowed parent kind over ALLOWED_RELATIONSHIPS). Oracle = the
+    hand-derived expectation set as a VALUES literal (nested-struct
+    inputs, string outputs — hash-checked like q_organism_batch); exact
+    derivations in tests/test_samples.py. Returns violation rows sorted
+    for stability."""
     import json as _json
 
     from faang_pydantics_validation_spark.organism import ORGANISM_SCHEMA
@@ -1390,6 +1406,19 @@ def q_sample_types_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         organism_df=mk(organisms, ORGANISM_SCHEMA),
     )
     return violations.orderBy("record_id", "rule_id", "message")
+
+
+SQL_SAMPLE_TYPES_BATCH = """
+SELECT * FROM (VALUES
+  ('POOL1', 'rel_parent_missing', 'child_of',
+   'Relationships part: no entity ''GHOST'' found', 'error'),
+  ('S2', 'rel_parent_kind', 'child_of',
+   'Relationships part: referenced entity ''POOL1'' does not match condition ''should be specimen_from_organism''',
+   'error'),
+  ('S2', 'spec_collection_date_format', 'specimen_collection_date.value',
+   'Invalid date format: ''05/2005''', 'error')
+) AS t(record_id, rule_id, field, message, severity)
+"""
 
 
 def q_stats_grouped_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1711,6 +1740,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "xrec_species_match": q_xrec_species_match,
     "xrec_cycle_2hop": q_xrec_cycle_2hop,
     "xrec_uniqueness": q_xrec_uniqueness,
+    "uniqueness_violation_rows": q_uniqueness_violation_rows,
     "stats_columns": q_stats_columns,
     "stats_length_histogram": q_stats_length_histogram,
     "stats_percentiles": q_stats_percentiles,
@@ -1732,13 +1762,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "organism_batch": q_organism_batch,
     "sample_types_batch": q_sample_types_batch,
     "stats_grouped_rollup": q_stats_grouped_rollup,
-    "drift_partition_scores": q_drift_partition_scores,
     "export_purl": q_export_purl,
     "export_biosample": q_export_biosample,
     "report_ordering": q_report_ordering,
     "agg_submission_status": q_agg_submission_status,
-    "uniqueness_violation_rows": q_uniqueness_violation_rows,
 }
+# NOTE: the registry is pinned at exactly 50 entries — the driver's
+# correctness harvest records the first 50 (CORRECTNESS_r02 dropped the
+# 51st, uniqueness_violation_rows, which is why it now sits directly
+# after xrec_uniqueness). q_drift_partition_scores (the Arrow-sketch
+# pandas-UDF path, rows-only by design) stays importable and is covered
+# by tests/test_drift_partition.py instead of a registry slot.
+assert len(QUERIES) == 50, f"driver harvests 50 queries, got {len(QUERIES)}"
 
 ORACLE_SQL: dict[str, str] = {
     "validate_verdicts": SQL_VALIDATE_VERDICTS,
@@ -1765,6 +1800,7 @@ ORACLE_SQL: dict[str, str] = {
     "xrec_species_match": SQL_XREC_SPECIES_MATCH,
     "xrec_cycle_2hop": SQL_XREC_CYCLE_2HOP,
     "xrec_uniqueness": SQL_XREC_UNIQUENESS,
+    "uniqueness_violation_rows": SQL_UNIQUENESS_VIOLATION_ROWS,
     "stats_columns": SQL_STATS_COLUMNS,
     "stats_length_histogram": SQL_STATS_LENGTH_HISTOGRAM,
     "stats_percentiles": SQL_STATS_PERCENTILES,
@@ -1779,10 +1815,11 @@ ORACLE_SQL: dict[str, str] = {
     "sim_cosine_topk": SQL_SIM_COSINE_TOPK,
     "sim_cosine_topk_ivf": SQL_SIM_COSINE_TOPK_IVF,
     "multimodal_meta": SQL_MULTIMODAL_META,
+    "organism_batch": SQL_ORGANISM_BATCH,
+    "sample_types_batch": SQL_SAMPLE_TYPES_BATCH,
     "stats_grouped_rollup": SQL_STATS_GROUPED_ROLLUP,
     "export_purl": SQL_EXPORT_PURL,
     "export_biosample": SQL_EXPORT_BIOSAMPLE,
     "report_ordering": SQL_REPORT_ORDERING,
     "agg_submission_status": SQL_AGG_SUBMISSION_STATUS,
-    "uniqueness_violation_rows": SQL_UNIQUENESS_VIOLATION_ROWS,
 }
