@@ -141,18 +141,24 @@ def ivf_crossover(spark) -> dict:
     n_q = int(os.environ.get("SPARK_GRAFT_BENCH_IVF_QUERIES", "500"))
     n_cells = int(os.environ.get("SPARK_GRAFT_BENCH_IVF_CELLS", "128"))
     nprobe = int(os.environ.get("SPARK_GRAFT_BENCH_IVF_NPROBE", "8"))
+    # clustered corpus (256 latent topics ≠ 128 cells, so alignment is
+    # EARNED by the Lloyd pass, not baked in): trained embedding spaces
+    # cluster — uniform-random vectors are the adversarial no-structure
+    # case where every neighbor sits on a cell boundary and ANY bucketed
+    # ANN degrades to its nprobe/n_cells sampling floor
+    n_clusters = int(os.environ.get("SPARK_GRAFT_BENCH_IVF_CLUSTERS", "256"))
 
-    path = f"/tmp/spark_graft_bench/embeddings_{n}_{dim}"
+    path = f"/tmp/spark_graft_bench/embeddings_{n}_{dim}_{n_clusters}"
     if not os.path.exists(path + "/_SUCCESS"):
-        fixtures.embeddings_table(spark, n, dim=dim, partitions=32).write.mode(
-            "overwrite"
-        ).parquet(path)
+        fixtures.embeddings_table(
+            spark, n, dim=dim, partitions=32, n_clusters=n_clusters
+        ).write.mode("overwrite").parquet(path)
     emb = spark.read.parquet(path)
     qstep = max(n // n_q, 1)
     qs = emb.filter(F.col("vec_id") % qstep == 0)
 
     t0 = time.monotonic()
-    centroids = sim.select_ivf_centroids(emb, n_cells=n_cells)
+    centroids = sim.select_ivf_centroids(emb, n_cells=n_cells, refine_iters=1)
     idx_path = path + f"_ivf{n_cells}"
     sim.ivf_assign(emb, centroids).write.mode("overwrite").parquet(idx_path)
     wall_build = time.monotonic() - t0
@@ -168,6 +174,22 @@ def ivf_crossover(spark) -> dict:
     sim.cosine_topk(emb, qs, k=10).agg(F.count(F.lit(1))).collect()
     wall_exact = time.monotonic() - t0
 
+    # recall@10 (untimed): fraction of exact top-10 pairs the IVF probe
+    # recovered — the quality side of the speedup trade. Estimated on a
+    # 1-in-10 query subsample so the untimed pass stays cheap.
+    qs_sub = qs.filter(F.col("vec_id") % (10 * qstep) == 0)
+    ivf_pairs = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.cosine_topk_ivf(
+            indexed, qs_sub, centroids, k=10, nprobe=nprobe
+        ).collect()
+    }
+    exact_pairs = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.cosine_topk(emb, qs_sub, k=10).collect()
+    }
+    recall = len(ivf_pairs & exact_pairs) / max(len(exact_pairs), 1)
+
     return {
         "rows": n,
         "dim": dim,
@@ -178,6 +200,7 @@ def ivf_crossover(spark) -> dict:
         "wall_ivf_sec": round(wall_ivf, 3),
         "wall_exact_sec": round(wall_exact, 3),
         "speedup_vs_exact": round(wall_exact / wall_ivf, 2),
+        "recall_at_10": round(recall, 4),
     }
 
 

@@ -359,17 +359,35 @@ def embeddings_table(
     n: int,
     dim: int = 64,
     partitions: int | None = None,
+    n_clusters: int = 0,
+    noise: float = 0.3,
 ) -> DataFrame:
     """Deterministic synthetic (vec_id, embedding array<double>) corpus at
-    any scale — pure JVM-side expressions (one xxhash64 per component),
-    identical on every run/partitioning. Components are uniform in
-    [-1, 1); used by the bench's IVF-vs-exact crossover, where only
-    geometry (not semantics) matters."""
+    any scale — pure JVM-side expressions (one or two xxhash64 per
+    component), identical on every run/partitioning.
+
+    ``n_clusters=0`` → components uniform in [-1, 1): the ADVERSARIAL
+    case for bucketed ANN (no structure, every neighbor near a cell
+    boundary). ``n_clusters=k`` → vector = cluster_center(id % k) +
+    noise·jitter: the realistic shape of trained embedding spaces
+    (documents cluster by topic), where IVF recall is meaningful. Used
+    by the bench's IVF-vs-exact crossover."""
     df = spark.range(0, n, 1, partitions or spark.sparkContext.defaultParallelism)
-    vec = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda j: (
-            F.xxhash64(F.col("id"), j).cast("double") / F.lit(float(2**63))
-        ),
-    )
+    if n_clusters > 0:
+        c = F.col("id") % n_clusters
+        vec = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: (
+                F.xxhash64(F.lit(0x517), c, j).cast("double") / F.lit(float(2**63))
+                + F.lit(noise)
+                * (F.xxhash64(F.col("id"), j).cast("double") / F.lit(float(2**63)))
+            ),
+        )
+    else:
+        vec = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: (
+                F.xxhash64(F.col("id"), j).cast("double") / F.lit(float(2**63))
+            ),
+        )
     return df.select(F.col("id").alias("vec_id"), vec.alias("embedding"))

@@ -321,3 +321,18 @@ def test_select_ivf_centroids(spark, vectors):
         ).collect()
     }
     assert ivf_all == exact
+
+
+def test_centroid_seeding_plans_as_takeordered(spark, vectors):
+    """The seed query must plan as TakeOrderedAndProject (per-partition
+    top-k, driver merge of n_cells rows) — never a global Sort+Exchange:
+    that is what keeps centroid selection O(n_cells) driver-side at any
+    corpus size."""
+    seed_df = (
+        vectors.select(F.col("vec_id").alias("__id"), F.col("embedding").alias("__v"))
+        .orderBy(F.xxhash64(F.col("__id")), F.col("__id"))
+        .limit(8)
+    )
+    plan = seed_df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
