@@ -140,6 +140,159 @@ def extract_features(df: DataFrame, batch_hint: int | None = None) -> DataFrame:
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "sample_id string, modality string, payload binary, "
+    "meta struct<mime:string, width:int, height:int, duration_ms:long>"
+)
+
+#: transform registry: modality → callable(payload, meta, (w, h)) → bytes
+_RESIZERS: dict[str, Callable[[bytes, dict[str, Any], tuple[int, int]], bytes]] = {}
+
+#: frame-sampler registry: modality →
+#: callable(payload, meta, every_ms) → list[(ts_ms, frame_bytes)]
+_FRAME_SAMPLERS: dict[
+    str, Callable[[bytes, dict[str, Any], int], list[tuple[int, bytes]]]
+] = {}
+
+
+def set_resizer(
+    modality: str,
+    fn: Callable[[bytes, dict[str, Any], tuple[int, int]], bytes],
+) -> None:
+    """Install a resize codec (production: PIL/libvips wrapper; tests: a
+    deterministic fake). Same stub contract as set_decoder."""
+    _RESIZERS[modality] = fn
+
+
+def set_frame_sampler(
+    modality: str,
+    fn: Callable[[bytes, dict[str, Any], int], list[tuple[int, bytes]]],
+) -> None:
+    """Install a frame extractor (production: ffmpeg/pyav wrapper)."""
+    _FRAME_SAMPLERS[modality] = fn
+
+
+def deterministic_fake_resizer():
+    """Stand-in resize: truncate/strobe the byte stream to w*h bytes —
+    no codec library, reproducible across executors."""
+
+    def resize(payload: bytes, meta: dict[str, Any], size: tuple[int, int]) -> bytes:
+        if payload is None:
+            return b""
+        w, h = size
+        n = max(w * h // 64, 1)
+        step = max(len(payload) // n, 1)
+        return bytes(payload[::step][:n])
+
+    return resize
+
+
+def deterministic_fake_frame_sampler():
+    """Stand-in frame extraction: fixed-size byte chunks as 'frames',
+    timestamps derived from meta.duration_ms."""
+
+    def sample(payload: bytes, meta: dict[str, Any], every_ms: int) -> list:
+        if payload is None:
+            return []
+        duration = (meta or {}).get("duration_ms") or 1000
+        n_frames = max(int(duration) // max(every_ms, 1), 1)
+        chunk = max(len(payload) // n_frames, 1)
+        return [
+            (i * every_ms, bytes(payload[i * chunk : (i + 1) * chunk]))
+            for i in range(n_frames)
+            if payload[i * chunk : (i + 1) * chunk]
+        ]
+
+    return sample
+
+
+def resize_media(
+    df: DataFrame, width: int, height: int
+) -> DataFrame:
+    """Resize pass via Arrow-batched ``mapInPandas`` — 1:1 row shape, the
+    payload column is REPLACED and the meta struct updated to the target
+    dimensions. The transform itself comes from the ``set_resizer``
+    registry (stub contract as :func:`extract_features`); everything
+    Spark-side — schema, batch iteration, meta rewrite — is real."""
+    resizers = dict(_RESIZERS)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_payload = []
+            out_meta = []
+            for payload, modality, meta in zip(
+                pdf["payload"], pdf["modality"], pdf["meta"]
+            ):
+                fn = resizers.get(modality)
+                if fn is None:
+                    raise NotImplementedError(
+                        f"no resizer registered for modality {modality!r}; "
+                        "install one with set_resizer()"
+                    )
+                out_payload.append(fn(payload, meta or {}, (width, height)))
+                m = dict(meta or {})
+                m["width"], m["height"] = width, height
+                m.setdefault("mime", None)
+                m.setdefault("duration_ms", None)
+                out_meta.append(m)
+            yield pd.DataFrame(
+                {
+                    "sample_id": pdf["sample_id"],
+                    "modality": pdf["modality"],
+                    "payload": out_payload,
+                    "meta": out_meta,
+                }
+            )
+
+    return df.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = (
+    "sample_id string, frame_index int, ts_ms long, frame binary"
+)
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame sampling via ``mapInPandas`` with an EXPLODING batch shape —
+    one input video row yields N frame rows (the output iterator is not
+    1:1 with the input, which is exactly why this is mapInPandas and not
+    a scalar pandas UDF). Extractor from ``set_frame_sampler``; at scale
+    the fan-out is bounded by duration/every_ms per row and frames land
+    partition-local (no shuffle)."""
+    samplers = dict(_FRAME_SAMPLERS)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, frames = [], [], [], []
+            for sample_id, payload, modality, meta in zip(
+                pdf["sample_id"], pdf["payload"], pdf["modality"], pdf["meta"]
+            ):
+                fn = samplers.get(modality)
+                if fn is None:
+                    raise NotImplementedError(
+                        f"no frame sampler registered for modality "
+                        f"{modality!r}; install one with set_frame_sampler()"
+                    )
+                for i, (ts, frame) in enumerate(fn(payload, meta or {}, every_ms)):
+                    ids.append(sample_id)
+                    idxs.append(i)
+                    tss.append(ts)
+                    frames.append(frame)
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "sample_id": ids,
+                        "frame_index": idxs,
+                        "ts_ms": tss,
+                        "frame": frames,
+                    }
+                )
+
+    return df.mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
 def synthetic_media(spark, n: int, modality: str = "image") -> DataFrame:
     """Deterministic fake media table (payload = sha-derived bytes) for
     tests and benches — same generator style as fixtures.code_files."""
@@ -155,6 +308,10 @@ def synthetic_media(spark, n: int, modality: str = "image") -> DataFrame:
             F.lit("application/octet-stream").alias("mime"),
             F.lit(64).cast("int").alias("width"),
             F.lit(64).cast("int").alias("height"),
-            F.lit(None).cast("long").alias("duration_ms"),
+            (
+                F.lit(4000).cast("long")
+                if modality == "video"
+                else F.lit(None).cast("long")
+            ).alias("duration_ms"),
         ).alias("meta"),
     )

@@ -336,3 +336,49 @@ def test_centroid_seeding_plans_as_takeordered(spark, vectors):
     plan = seed_df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
     assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_multimodal_resize(spark):
+    """Resize plumbing: 1:1 row shape, payload replaced, meta rewritten
+    to the target dims, mime preserved; unregistered modality raises the
+    stub contract error."""
+    media = mm.synthetic_media(spark, 10)
+    mm.set_resizer("image", mm.deterministic_fake_resizer())
+    out = mm.resize_media(media, 16, 16).collect()
+    assert len(out) == 10
+    n = 16 * 16 // 64
+    for r in out:
+        assert r.meta.width == 16 and r.meta.height == 16
+        assert r.meta.mime == "application/octet-stream"
+        assert 0 < len(r.payload) <= n
+    with pytest.raises(Exception, match="no resizer registered"):
+        mm.resize_media(
+            mm.synthetic_media(spark, 2, modality="tiff_unregistered"), 8, 8
+        ).collect()
+
+
+def test_multimodal_frame_sampling(spark):
+    """Frame sampling: the EXPLODING mapInPandas shape — 4000ms fake
+    videos at every_ms=1000 yield 4 frame rows each, indexed and
+    timestamped; frames partition-local (no shuffle in the plan)."""
+    vids = mm.synthetic_media(spark, 5, modality="video")
+    mm.set_frame_sampler("video", mm.deterministic_fake_frame_sampler())
+    frames_df = mm.sample_frames(vids, every_ms=1000)
+    plan = frames_df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    frames = frames_df.collect()
+    assert len(frames) == 5 * 4
+    by_id: dict = {}
+    for f in frames:
+        by_id.setdefault(f.sample_id, []).append((f.frame_index, f.ts_ms))
+    for sid, lst in by_id.items():
+        assert sorted(lst) == [(0, 0), (1, 1000), (2, 2000), (3, 3000)], sid
+    # frames re-concatenate to a prefix of the source payload (fake codec
+    # chunks bytes): order and content preserved
+    src = {r.sample_id: bytes(r.payload) for r in vids.collect()}
+    for sid, lst in by_id.items():
+        chunks = sorted(
+            (f.frame_index, bytes(f.frame)) for f in frames if f.sample_id == sid
+        )
+        joined = b"".join(c for _, c in chunks)
+        assert src[sid].startswith(joined) and len(joined) > 0
