@@ -1,0 +1,286 @@
+"""Persisted stats baselines: profile a table once, score later runs
+against the snapshot.
+
+At 100 TB the drift question is rarely "partition A vs partition B of
+this run" (checks/drift.py covers that) but "today's table vs the
+accepted snapshot". This module writes the numeric profile of a table —
+per-column fixed-grid histogram + count/mean — as a TINY parquet
+artifact (one row per column), and scores any later table against it
+without touching the baseline's source data again.
+
+Scale shape: profiling is ONE melt (explode of (column, value) structs)
+followed by ONE groupBy(column, bucket) — a single shuffle for every
+profiled column together, partial-aggregated map-side. Scoring joins the
+current histogram against the baseline's (≤ n_cols × n_buckets rows on
+both sides) and reduces per column: chi-square on aligned bucket counts
+plus the same histogram-KS approximation ks_drift uses (error ≤
+1/n_buckets in CDF space). No driver-side data path beyond the
+per-column grid rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def snapshot_profile(
+    df: DataFrame, columns: list[str], n_buckets: int = 64
+) -> DataFrame:
+    """Numeric profile, one row per column:
+    (column, lo, hi, n, mean, n_buckets, counts array<long>).
+
+    Grid bounds come from one fused min/max/avg agg; the histogram for
+    ALL columns is one melt + one groupBy (single shuffle)."""
+    spark = df.sparkSession
+    aggs = []
+    for c in columns:
+        col = F.col(c).cast("double")
+        aggs += [
+            F.min(col).alias(f"__lo_{c}"),
+            F.max(col).alias(f"__hi_{c}"),
+            F.count(col).alias(f"__n_{c}"),
+            F.avg(col).alias(f"__mean_{c}"),
+        ]
+    span = df.agg(*aggs).collect()[0]
+
+    melted = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("double").alias("value"),
+                    )
+                    for c in columns
+                ]
+            )
+        ).alias("kv")
+    ).select("kv.column", "kv.value")
+
+    bucket = F.lit(None).cast("int")
+    for c in columns:
+        lo = span[f"__lo_{c}"]
+        hi = span[f"__hi_{c}"]
+        if lo is None or hi is None or hi <= lo:
+            lo, hi = (lo or 0.0), (lo or 0.0) + 1.0
+        bucket = F.when(
+            F.col("column") == c,
+            F.least(
+                F.lit(n_buckets - 1),
+                F.floor(
+                    (F.col("value") - F.lit(float(lo)))
+                    / F.lit(float(hi) - float(lo))
+                    * n_buckets
+                ),
+            ).cast("int"),
+        ).otherwise(bucket)
+
+    hist = (
+        melted.filter(F.col("value").isNotNull())
+        .select("column", bucket.alias("bucket"))
+        .groupBy("column", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("column")
+        .agg(
+            F.map_from_arrays(
+                F.collect_list("bucket"), F.collect_list("n")
+            ).alias("__m")
+        )
+        .select(
+            "column",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_buckets - 1)),
+                lambda b: F.coalesce(
+                    F.element_at(F.col("__m"), b.cast("int")), F.lit(0)
+                ).cast("long"),
+            ).alias("counts"),
+        )
+    )
+    meta_rows = [
+        (
+            c,
+            float(span[f"__lo_{c}"]) if span[f"__lo_{c}"] is not None else 0.0,
+            float(span[f"__hi_{c}"]) if span[f"__hi_{c}"] is not None else 1.0,
+            int(span[f"__n_{c}"]),
+            float(span[f"__mean_{c}"]) if span[f"__mean_{c}"] is not None else 0.0,
+            n_buckets,
+        )
+        for c in columns
+    ]
+    meta = spark.createDataFrame(
+        meta_rows, "column string, lo double, hi double, n long, mean double, n_buckets int"
+    )
+    return meta.join(hist, "column", "left")
+
+
+def write_baseline(profile: DataFrame, path: str) -> None:
+    """Persist the snapshot (tiny: one row per column)."""
+    profile.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def read_baseline(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def drift_against_baseline(df: DataFrame, baseline: DataFrame) -> DataFrame:
+    """Score ``df`` against a persisted snapshot. Output, one row per
+    baseline column:
+    (column, n_current, n_baseline, mean_current, mean_baseline,
+     chi2_statistic, dof, ks_statistic).
+
+    The current histogram is computed on the BASELINE's grid (so buckets
+    align); chi-square uses baseline-proportion expected counts, KS is
+    the max |ΔCDF| over aligned buckets. Everything reduces per column
+    in one shuffle over ≤ n_cols × n_buckets rows."""
+    base_rows = baseline.collect()  # one row per column — driver-tiny
+    columns = [r.column for r in base_rows]
+    n_buckets = base_rows[0].n_buckets if base_rows else 64
+
+    cur = snapshot_profile_on_grid(
+        df, {r.column: (r.lo, r.hi) for r in base_rows}, n_buckets
+    )
+
+    b = baseline.select(
+        "column",
+        F.col("n").alias("n_baseline"),
+        F.col("mean").alias("mean_baseline"),
+        F.posexplode("counts").alias("bucket", "nb"),
+    )
+    c = cur.select(
+        "column",
+        F.col("n").alias("n_current"),
+        F.col("mean").alias("mean_current"),
+        F.posexplode("counts").alias("bucket", "nc"),
+    )
+    j = b.join(c, ["column", "bucket"])
+    w = (
+        Window.partitionBy("column")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    scored = j.select(
+        "column",
+        "n_current",
+        "n_baseline",
+        "mean_current",
+        "mean_baseline",
+        "nb",
+        "nc",
+        (F.col("nb") / F.greatest("n_baseline", F.lit(1)) * F.col("n_current")).alias(
+            "e"
+        ),
+        (
+            F.sum("nc").over(w) / F.greatest("n_current", F.lit(1))
+            - F.sum("nb").over(w) / F.greatest("n_baseline", F.lit(1))
+        ).alias("cdf_diff"),
+    )
+    return (
+        scored.groupBy(
+            "column", "n_current", "n_baseline", "mean_current", "mean_baseline"
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("e") > 0,
+                    F.pow(F.col("nc") - F.col("e"), 2) / F.col("e"),
+                ).otherwise(0.0)
+            ).alias("chi2_statistic"),
+            (
+                F.sum((F.col("nb") > 0).cast("long")) - F.lit(1)
+            ).alias("dof"),
+            F.max(F.abs(F.col("cdf_diff"))).alias("ks_statistic"),
+        )
+        .select(
+            "column",
+            "n_current",
+            "n_baseline",
+            "mean_current",
+            "mean_baseline",
+            "chi2_statistic",
+            "dof",
+            "ks_statistic",
+        )
+    )
+
+
+def snapshot_profile_on_grid(
+    df: DataFrame, grid: dict[str, tuple[float, float]], n_buckets: int
+) -> DataFrame:
+    """Like :func:`snapshot_profile` but bucketing on a GIVEN per-column
+    (lo, hi) grid — the aligned-histogram half of baseline scoring."""
+    columns = list(grid)
+    aggs = []
+    for c in columns:
+        col = F.col(c).cast("double")
+        aggs += [F.count(col).alias(f"__n_{c}"), F.avg(col).alias(f"__mean_{c}")]
+    stats = df.agg(*aggs).collect()[0]
+
+    melted = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("double").alias("value"),
+                    )
+                    for c in columns
+                ]
+            )
+        ).alias("kv")
+    ).select("kv.column", "kv.value")
+
+    bucket = F.lit(None).cast("int")
+    for c in columns:
+        lo, hi = grid[c]
+        if lo is None or hi is None or hi <= lo:
+            lo, hi = (lo or 0.0), (lo or 0.0) + 1.0
+        bucket = F.when(
+            F.col("column") == c,
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(n_buckets - 1),
+                    F.floor(
+                        (F.col("value") - F.lit(float(lo)))
+                        / F.lit(float(hi) - float(lo))
+                        * n_buckets
+                    ),
+                ),
+            ).cast("int"),
+        ).otherwise(bucket)
+
+    hist = (
+        melted.filter(F.col("value").isNotNull())
+        .select("column", bucket.alias("bucket"))
+        .groupBy("column", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("column")
+        .agg(
+            F.map_from_arrays(
+                F.collect_list("bucket"), F.collect_list("n")
+            ).alias("__m")
+        )
+        .select(
+            "column",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_buckets - 1)),
+                lambda b: F.coalesce(
+                    F.element_at(F.col("__m"), b.cast("int")), F.lit(0)
+                ).cast("long"),
+            ).alias("counts"),
+        )
+    )
+    spark = df.sparkSession
+    meta = spark.createDataFrame(
+        [
+            (
+                c,
+                int(stats[f"__n_{c}"]),
+                float(stats[f"__mean_{c}"]) if stats[f"__mean_{c}"] is not None else 0.0,
+            )
+            for c in columns
+        ],
+        "column string, n long, mean double",
+    )
+    return meta.join(hist, "column", "left")

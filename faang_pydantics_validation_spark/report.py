@@ -26,6 +26,27 @@ def ordered_violations(violations: DataFrame) -> DataFrame:
     return violations.orderBy("record_id", "field", "rule_id", "message")
 
 
+def rule_stats(violations: DataFrame, total_rows: int | None = None) -> DataFrame:
+    """Per-rule selectivity in ONE shuffle:
+    (rule_id, severity, n_violations, n_records[, violation_rate]).
+
+    The operational question a ruleset owner asks after every run —
+    which rules fire, how often, over how many distinct records — as a
+    single partial+final agg over the violations frame (distinct records
+    via HLL, so hot rules don't shuffle their record ids). Pass
+    ``total_rows`` to add the per-row firing rate."""
+    out = violations.groupBy("rule_id", "severity").agg(
+        F.count(F.lit(1)).alias("n_violations"),
+        F.approx_count_distinct("record_id").alias("n_records"),
+    )
+    if total_rows:
+        out = out.withColumn(
+            "violation_rate",
+            F.round(F.col("n_violations") / F.lit(float(total_rows)), 6),
+        )
+    return out.orderBy(F.desc("n_violations"), "rule_id")
+
+
 def validation_report(
     violations: DataFrame, verdicts: DataFrame, max_records: int = 1000
 ) -> str:
