@@ -9,8 +9,10 @@ artifact (one row per column), and scores any later table against it
 without touching the baseline's source data again.
 
 Scale shape: profiling is ONE melt (explode of (column, value) structs)
-followed by ONE groupBy(column, bucket) — a single shuffle for every
-profiled column together, partial-aggregated map-side. Scoring joins the
+followed by a groupBy(column, bucket) — the only table-sized shuffle,
+partial-aggregated map-side, shared by every profiled column; the
+histogram re-pack groupBy afterwards only reshuffles the already-reduced
+≤ n_cols × n_buckets rows. Scoring joins the
 current histogram against the baseline's (≤ n_cols × n_buckets rows on
 both sides) and reduces per column: chi-square on aligned bucket counts
 plus the same histogram-KS approximation ks_drift uses (error ≤
