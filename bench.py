@@ -165,9 +165,9 @@ def ivf_crossover(spark) -> dict:
     indexed = spark.read.parquet(idx_path)
 
     t0 = time.monotonic()
-    sim.cosine_topk_ivf(indexed, qs, centroids, k=10, nprobe=nprobe).agg(
-        F.count(F.lit(1))
-    ).collect()
+    sim.cosine_topk_ivf(
+        indexed, qs, centroids, k=10, nprobe=nprobe, cell_col="cell"
+    ).agg(F.count(F.lit(1))).collect()
     wall_ivf = time.monotonic() - t0
 
     t0 = time.monotonic()
@@ -181,7 +181,7 @@ def ivf_crossover(spark) -> dict:
     ivf_pairs = {
         (r.query_id, r.neighbor_id)
         for r in sim.cosine_topk_ivf(
-            indexed, qs_sub, centroids, k=10, nprobe=nprobe
+            indexed, qs_sub, centroids, k=10, nprobe=nprobe, cell_col="cell"
         ).collect()
     }
     exact_pairs = {
@@ -304,7 +304,9 @@ def main() -> None:
             )
             if _rnd >= 1 and eff_so_far >= scaling_target:
                 break
-            if time.monotonic() - t_scaling > scaling_budget:
+            # budget break also honors the ≥2-rounds floor: a single
+            # throttled round must not become the archived best-of
+            if _rnd >= 1 and time.monotonic() - t_scaling > scaling_budget:
                 break
         wall_small, ovh_small = min(walls[small]), min(ovhs[small])
         wall_4n, ovh_4n = min(walls[big]), min(ovhs[big])

@@ -8,22 +8,97 @@ per-column fixed-grid histogram + count/mean — as a TINY parquet
 artifact (one row per column), and scores any later table against it
 without touching the baseline's source data again.
 
-Scale shape: profiling is ONE melt (explode of (column, value) structs)
-followed by a groupBy(column, bucket) — the only table-sized shuffle,
-partial-aggregated map-side, shared by every profiled column; the
-histogram re-pack groupBy afterwards only reshuffles the already-reduced
-≤ n_cols × n_buckets rows. Scoring joins the
-current histogram against the baseline's (≤ n_cols × n_buckets rows on
-both sides) and reduces per column: chi-square on aligned bucket counts
-plus the same histogram-KS approximation ks_drift uses (error ≤
-1/n_buckets in CDF space). No driver-side data path beyond the
-per-column grid rows.
+Scale shape: profiling is ONE melt (explode of (column, bucket) structs
+— each column's bucket is computed from its OWN (lo, hi) literals
+inside the struct before the explode, so the per-melted-row cost is
+O(1), independent of how many columns are profiled) followed by a
+groupBy(column, bucket) — the only table-sized shuffle, partial-
+aggregated map-side, shared by every profiled column; the histogram
+re-pack groupBy afterwards only reshuffles the already-reduced
+≤ n_cols × n_buckets rows. Scoring joins the current histogram against
+the baseline's (≤ n_cols × n_buckets rows on both sides) and reduces
+per column: chi-square on aligned bucket counts plus the same
+histogram-KS approximation ks_drift uses (error ≤ 1/n_buckets in CDF
+space). Every grid column always carries a dense zero-filled counts
+array — a column that is all-null on either side scores ks = 1.0
+instead of silently vanishing from the report. No driver-side data path
+beyond the per-column grid rows.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _normalize_grid(
+    grid: dict[str, tuple[float | None, float | None]],
+) -> dict[str, tuple[float, float]]:
+    """Degenerate (all-null or constant) columns get a unit-width grid."""
+    out = {}
+    for c, (lo, hi) in grid.items():
+        if lo is None or hi is None or hi <= lo:
+            lo, hi = (lo or 0.0), (lo or 0.0) + 1.0
+        out[c] = (float(lo), float(hi))
+    return out
+
+
+def _grid_histogram(
+    df: DataFrame, grid: dict[str, tuple[float, float]], n_buckets: int
+) -> DataFrame:
+    """(column, counts array<long>) histogram for every grid column in
+    one melt + one table-sized groupBy. The bucket index is computed
+    per-column BEFORE the explode, with that column's (lo, hi) as
+    literals — O(1) per melted row regardless of n_cols. Columns with
+    no non-null values are absent here; callers zero-fill via
+    ``_dense_counts``."""
+    structs = []
+    for c, (lo, hi) in grid.items():
+        v = F.col(c).cast("double")
+        # least/greatest SKIP nulls, so gate explicitly: null value →
+        # null bucket (dropped below), not the clamp edge.
+        b = F.when(
+            v.isNotNull(),
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(n_buckets - 1),
+                    F.floor((v - F.lit(lo)) / F.lit(hi - lo) * n_buckets),
+                ),
+            ),
+        ).cast("int")
+        structs.append(F.struct(F.lit(c).alias("column"), b.alias("bucket")))
+
+    return (
+        df.select(F.explode(F.array(*structs)).alias("kv"))
+        .select("kv.column", "kv.bucket")
+        .filter(F.col("bucket").isNotNull())  # null value → null bucket
+        .groupBy("column", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("column")
+        .agg(
+            F.map_from_arrays(
+                F.collect_list("bucket"), F.collect_list("n")
+            ).alias("__m")
+        )
+        .select(
+            "column",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_buckets - 1)),
+                lambda b: F.coalesce(
+                    F.element_at(F.col("__m"), b.cast("int")), F.lit(0)
+                ).cast("long"),
+            ).alias("counts"),
+        )
+    )
+
+
+def _dense_counts(n_buckets: int):
+    """counts, zero-filled for columns the histogram never saw."""
+    return F.coalesce(
+        F.col("counts"),
+        F.array_repeat(F.lit(0).cast("long"), n_buckets),
+    ).alias("counts")
 
 
 def snapshot_profile(
@@ -46,59 +121,10 @@ def snapshot_profile(
         ]
     span = df.agg(*aggs).collect()[0]
 
-    melted = df.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("column"),
-                        F.col(c).cast("double").alias("value"),
-                    )
-                    for c in columns
-                ]
-            )
-        ).alias("kv")
-    ).select("kv.column", "kv.value")
-
-    bucket = F.lit(None).cast("int")
-    for c in columns:
-        lo = span[f"__lo_{c}"]
-        hi = span[f"__hi_{c}"]
-        if lo is None or hi is None or hi <= lo:
-            lo, hi = (lo or 0.0), (lo or 0.0) + 1.0
-        bucket = F.when(
-            F.col("column") == c,
-            F.least(
-                F.lit(n_buckets - 1),
-                F.floor(
-                    (F.col("value") - F.lit(float(lo)))
-                    / F.lit(float(hi) - float(lo))
-                    * n_buckets
-                ),
-            ).cast("int"),
-        ).otherwise(bucket)
-
-    hist = (
-        melted.filter(F.col("value").isNotNull())
-        .select("column", bucket.alias("bucket"))
-        .groupBy("column", "bucket")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .groupBy("column")
-        .agg(
-            F.map_from_arrays(
-                F.collect_list("bucket"), F.collect_list("n")
-            ).alias("__m")
-        )
-        .select(
-            "column",
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_buckets - 1)),
-                lambda b: F.coalesce(
-                    F.element_at(F.col("__m"), b.cast("int")), F.lit(0)
-                ).cast("long"),
-            ).alias("counts"),
-        )
+    grid = _normalize_grid(
+        {c: (span[f"__lo_{c}"], span[f"__hi_{c}"]) for c in columns}
     )
+    hist = _grid_histogram(df, grid, n_buckets)
     meta_rows = [
         (
             c,
@@ -113,7 +139,9 @@ def snapshot_profile(
     meta = spark.createDataFrame(
         meta_rows, "column string, lo double, hi double, n long, mean double, n_buckets int"
     )
-    return meta.join(hist, "column", "left")
+    return meta.join(hist, "column", "left").select(
+        "column", "lo", "hi", "n", "mean", "n_buckets", _dense_counts(n_buckets)
+    )
 
 
 def write_baseline(profile: DataFrame, path: str) -> None:
@@ -133,10 +161,12 @@ def drift_against_baseline(df: DataFrame, baseline: DataFrame) -> DataFrame:
 
     The current histogram is computed on the BASELINE's grid (so buckets
     align); chi-square uses baseline-proportion expected counts, KS is
-    the max |ΔCDF| over aligned buckets. Everything reduces per column
-    in one shuffle over ≤ n_cols × n_buckets rows."""
+    the max |ΔCDF| over aligned buckets. Both sides carry dense
+    zero-filled counts, so every baseline column appears in the output
+    even when all-null on one side (scoring ks = 1.0 there, which is
+    exactly the upstream-break signal). Everything reduces per column in
+    one shuffle over ≤ n_cols × n_buckets rows."""
     base_rows = baseline.collect()  # one row per column — driver-tiny
-    columns = [r.column for r in base_rows]
     n_buckets = base_rows[0].n_buckets if base_rows else 64
 
     cur = snapshot_profile_on_grid(
@@ -210,7 +240,8 @@ def snapshot_profile_on_grid(
     df: DataFrame, grid: dict[str, tuple[float, float]], n_buckets: int
 ) -> DataFrame:
     """Like :func:`snapshot_profile` but bucketing on a GIVEN per-column
-    (lo, hi) grid — the aligned-histogram half of baseline scoring."""
+    (lo, hi) grid — the aligned-histogram half of baseline scoring.
+    Out-of-grid values clamp into the edge buckets."""
     columns = list(grid)
     aggs = []
     for c in columns:
@@ -218,61 +249,7 @@ def snapshot_profile_on_grid(
         aggs += [F.count(col).alias(f"__n_{c}"), F.avg(col).alias(f"__mean_{c}")]
     stats = df.agg(*aggs).collect()[0]
 
-    melted = df.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("column"),
-                        F.col(c).cast("double").alias("value"),
-                    )
-                    for c in columns
-                ]
-            )
-        ).alias("kv")
-    ).select("kv.column", "kv.value")
-
-    bucket = F.lit(None).cast("int")
-    for c in columns:
-        lo, hi = grid[c]
-        if lo is None or hi is None or hi <= lo:
-            lo, hi = (lo or 0.0), (lo or 0.0) + 1.0
-        bucket = F.when(
-            F.col("column") == c,
-            F.greatest(
-                F.lit(0),
-                F.least(
-                    F.lit(n_buckets - 1),
-                    F.floor(
-                        (F.col("value") - F.lit(float(lo)))
-                        / F.lit(float(hi) - float(lo))
-                        * n_buckets
-                    ),
-                ),
-            ).cast("int"),
-        ).otherwise(bucket)
-
-    hist = (
-        melted.filter(F.col("value").isNotNull())
-        .select("column", bucket.alias("bucket"))
-        .groupBy("column", "bucket")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .groupBy("column")
-        .agg(
-            F.map_from_arrays(
-                F.collect_list("bucket"), F.collect_list("n")
-            ).alias("__m")
-        )
-        .select(
-            "column",
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_buckets - 1)),
-                lambda b: F.coalesce(
-                    F.element_at(F.col("__m"), b.cast("int")), F.lit(0)
-                ).cast("long"),
-            ).alias("counts"),
-        )
-    )
+    hist = _grid_histogram(df, _normalize_grid(grid), n_buckets)
     spark = df.sparkSession
     meta = spark.createDataFrame(
         [
@@ -285,4 +262,6 @@ def snapshot_profile_on_grid(
         ],
         "column string, n long, mean double",
     )
-    return meta.join(hist, "column", "left")
+    return meta.join(hist, "column", "left").select(
+        "column", "n", "mean", _dense_counts(n_buckets)
+    )

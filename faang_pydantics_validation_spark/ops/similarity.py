@@ -345,6 +345,7 @@ def cosine_topk_ivf(
     vec_col: str = "embedding",
     query_id_col: str = "vec_id",
     exclude_self: bool = True,
+    cell_col: str | None = None,
 ) -> DataFrame:
     """IVF-bucketed approximate top-k — the inverted-file scale path
     next to :func:`cosine_topk_lsh`.
@@ -359,19 +360,20 @@ def cosine_topk_ivf(
     ``centroids`` — (cell_id, vector) list; use
     :func:`select_ivf_centroids` for scale-aware defaults. Selection
     strategy only affects recall, never correctness of the returned
-    scores. If ``corpus`` already carries a ``cell`` column the
-    assignment pass is SKIPPED — at scale the inverted file is built
-    once (:func:`ivf_assign` + write) and amortized over every query
-    batch, exactly like any other index. Output schema matches
-    :func:`cosine_topk`; all scores rounded to 6dp before ranking with
-    id tie-breaks, so results are exactly reproducible (and DuckDB-
-    oracle comparable — see queries.sim_cosine_topk_ivf)."""
+    scores. Pass ``cell_col`` naming a PRECOMPUTED assignment column to
+    skip the assignment pass — at scale the inverted file is built once
+    (:func:`ivf_assign` + write) and amortized over every query batch,
+    exactly like any other index. The opt-in is explicit because the
+    engine cannot verify the stored cells were assigned under THESE
+    centroids; a stale index silently collapses recall. Output schema
+    matches :func:`cosine_topk`; all scores rounded to 6dp before
+    ranking with id tie-breaks, so results are exactly reproducible (and
+    DuckDB-oracle comparable — see queries.sim_cosine_topk_ivf)."""
     cents = _centroid_literal(centroids)
-    assigned = (
-        corpus
-        if "cell" in corpus.columns
-        else ivf_assign(corpus, centroids, id_col, vec_col)
-    )
+    if cell_col is not None:
+        assigned = corpus.withColumnRenamed(cell_col, "cell")
+    else:
+        assigned = ivf_assign(corpus, centroids, id_col, vec_col)
     c = assigned.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
@@ -428,17 +430,26 @@ def embedding_near_dup_pairs(
     planes and the within-bucket self-join is quadratic per bucket —
     the cap bounds pair fan-out to max_bucket_size² per bucket at any
     corpus size. Over-full buckets are template collision, not
-    near-duplication. None disables (exhaustive for small corpora)."""
+    near-duplication. None disables (exhaustive for small corpora).
+
+    The cap is a window count over partitionBy(bucket), not a
+    groupBy+join-back: the join-back form re-evaluates the n_planes×dim
+    ``lsh_bucket`` fold over the whole corpus a third time (sizes branch
+    on top of the self-join's two sides); the window rides the same
+    hash(bucket) partitioning the self-join needs anyway."""
     h = df.select(
         F.col(id_col).alias("doc_id"),
         F.col(vec_col).alias("__vec"),
         lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
     )
     if max_bucket_size is not None:
-        sizes = h.groupBy("bucket").agg(F.count(F.lit(1)).alias("__bsize"))
-        h = h.join(
-            sizes.filter(F.col("__bsize") <= max_bucket_size), "bucket"
-        ).drop("__bsize")
+        h = (
+            h.withColumn(
+                "__bsize", F.count(F.lit(1)).over(Window.partitionBy("bucket"))
+            )
+            .filter(F.col("__bsize") <= max_bucket_size)
+            .drop("__bsize")
+        )
     left, right = h.alias("l"), h.alias("r")
     pairs = left.join(
         right,

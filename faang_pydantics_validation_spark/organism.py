@@ -210,13 +210,16 @@ def organism_record_id(
             F.concat(F.lit("organism_"), F.col(index_col).cast("string")),
         )
     candidate = F.col(f"custom.{col_name}")
-    return (
-        F.when(candidate.isNotNull(), candidate["value"])
-        .when(
-            F.col("alias").isNotNull(),
-            F.coalesce(F.col("alias.value"), F.lit("unknown")),
-        )
-        .otherwise(F.lit("unknown"))
+    # The outer coalesce also normalizes a present-but-value-less struct
+    # ({"sample_name": {"value": null}}) to 'unknown': the reference
+    # returns the raw None there (:240), but a NULL record id would be
+    # silently dropped by the relationship joins / groupBys downstream,
+    # so the engine pins every record to a non-null key.
+    return F.coalesce(
+        F.when(candidate.isNotNull(), candidate["value"]).when(
+            F.col("alias").isNotNull(), F.col("alias.value")
+        ),
+        F.lit("unknown"),
     )
 
 

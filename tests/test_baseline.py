@@ -53,6 +53,34 @@ def test_baseline_roundtrip_and_drift(spark, tmp_path):
     assert abs(drifted["x"].mean_current - drifted["x"].mean_baseline - 50.0) < 1e-9
 
 
+def test_drift_reports_all_null_column(spark, tmp_path):
+    """An upstream break that nulls a column out entirely must still
+    produce a drift row (ks = 1.0), not silently vanish from the
+    report."""
+    path = str(tmp_path / "baseline_nullcol")
+    write_baseline(snapshot_profile(_table(spark), ["x", "y"], 20), path)
+    base = read_baseline(spark, path)
+
+    broken = _table(spark).select(
+        F.lit(None).cast("double").alias("x"), "y"
+    )
+    got = {r.column: r for r in drift_against_baseline(broken, base).collect()}
+    assert set(got) == {"x", "y"}  # x present despite being all-null
+    assert got["x"].n_current == 0
+    assert abs(got["x"].ks_statistic - 1.0) < 1e-9
+    assert got["y"].ks_statistic < 1e-9
+
+    # the mirror case: baseline side all-null, current has data
+    path2 = str(tmp_path / "baseline_nullbase")
+    write_baseline(snapshot_profile(broken, ["x", "y"], 20), path2)
+    base2 = read_baseline(spark, path2)
+    got2 = {r.column: r for r in
+            drift_against_baseline(_table(spark), base2).collect()}
+    assert set(got2) == {"x", "y"}
+    assert got2["x"].n_baseline == 0
+    assert abs(got2["x"].ks_statistic - 1.0) < 1e-9
+
+
 def test_rule_stats_one_pass(spark):
     from faang_pydantics_validation_spark.report import rule_stats
 

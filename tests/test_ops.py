@@ -208,7 +208,11 @@ def test_lsh_bucket_plans_fast_at_dim768(spark, vectors):
         sim.lsh_bucket(F.col("embedding"), 768, 16).alias("b")
     ).collect()
     assert len(out) == 20
-    assert time.time() - t0 < 15.0  # generous for a throttled host
+    # the unrolled form took MINUTES of analysis; 60 s still catches that
+    # while riding out the sandbox host's 10x JVM-clamp phases (the first
+    # collect of a session lands here) — the plan-size pin below is the
+    # structural regression guard
+    assert time.time() - t0 < 60.0
     # plan carries ONE literal per plane, not dim*n_planes nodes
     plan = d.select(
         sim.lsh_bucket(F.col("embedding"), 768, 16).alias("b")

@@ -210,6 +210,11 @@ def test_record_id_fallback_chain(spark):
         # 5. update-mode id lives at custom.biosample_id
         {"custom": {"sample_name": {"value": "IGNORED"},
                     "biosample_id": {"value": "SAMEA123"}}},
+        # 6. sample_name struct present but value-less: the reference
+        # returns the raw None WITHOUT consulting alias (:240); the
+        # engine normalizes that None to 'unknown' (non-null join key)
+        {"custom": {"sample_name": {"value": None}},
+         "alias": {"value": "NEVER_USED"}},
     ]
     df = spark.createDataFrame(
         [{**json.loads(json.dumps(r)), "idx": i} for i, r in enumerate(rows)],
@@ -218,7 +223,8 @@ def test_record_id_fallback_chain(spark):
 
     new_ids = [r.rid for r in
                df.orderBy("idx").select(organism_record_id().alias("rid")).collect()]
-    assert new_ids == ["NAMED", "ALIAS1", "unknown", "unknown", "IGNORED"]
+    assert new_ids == ["NAMED", "ALIAS1", "unknown", "unknown", "IGNORED",
+                       "unknown"]
 
     upd_ids = [r.rid for r in
                df.orderBy("idx")
@@ -227,7 +233,8 @@ def test_record_id_fallback_chain(spark):
     # update mode: only row 5 carries biosample_id; rows 1-4 fall through
     # the same alias/unknown chain (row 1's custom has no biosample_id →
     # candidate struct null → alias)
-    assert upd_ids == ["ALIAS0", "ALIAS1", "unknown", "unknown", "SAMEA123"]
+    assert upd_ids == ["ALIAS0", "ALIAS1", "unknown", "unknown", "SAMEA123",
+                       "NEVER_USED"]
 
     # batch-loop positional default (organism_validation.py:168): no alias
     # consultation, organism_{i} for any record without a sample_name
@@ -236,4 +243,4 @@ def test_record_id_fallback_chain(spark):
                .select(organism_record_id(index_col="idx").alias("rid"))
                .collect()]
     assert pos_ids == ["NAMED", "organism_1", "organism_2", "organism_3",
-                       "IGNORED"]
+                       "IGNORED", "organism_5"]
