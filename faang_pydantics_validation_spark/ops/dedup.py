@@ -104,9 +104,35 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------- minhash --
 
 
-def signature_from_shingles(sh: Column, num_perm: int = 64) -> Column:
+def _hash64(col: Column, seed: Column | None, hash_fn: str) -> Column:
+    """Seeded 64-bit string hash, pluggable for oracle reproducibility.
+
+    * ``'xxhash64'`` — Spark-native, codegen'd, the 100 TB default.
+    * ``'md5'`` — top 60 bits of md5 (seed appended as ``:<seed>``):
+      slower, but exactly reproducible in DuckDB as
+      ``CAST(('0x'||substring(md5(s||':seed'),1,15)) AS BIGINT)`` —
+      parity pinned by tests/test_ops.py::test_md5_hash64_duckdb_parity.
+      Used by the oracle contract queries only.
+    """
+    if hash_fn == "xxhash64":
+        return F.xxhash64(col) if seed is None else F.xxhash64(col, seed)
+    if hash_fn == "md5":
+        inp = (
+            col
+            if seed is None
+            else F.concat(col, F.lit(":"), seed.cast("string"))
+        )
+        return F.conv(
+            F.substring(F.md5(inp.cast("binary")), 1, 15), 16, 10
+        ).cast("bigint")
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+
+def signature_from_shingles(
+    sh: Column, num_perm: int = 64, hash_fn: str = "xxhash64"
+) -> Column:
     """array<bigint> of ``num_perm`` minhash values: min over shingles of
-    xxhash64(shingle, seed_i). Row-local — no shuffle, no UDF.
+    hash64(shingle, seed_i). Row-local — no shuffle, no UDF.
 
     IMPORTANT: pass a materialized COLUMN of shingles (a cheap attribute
     reference), never the shingle-building expression itself — Spark
@@ -115,7 +141,9 @@ def signature_from_shingles(sh: Column, num_perm: int = 64) -> Column:
     row (measured: ~100x slowdown)."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_perm - 1)),
-        lambda seed: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, seed))),
+        lambda seed: F.array_min(
+            F.transform(sh, lambda s: _hash64(s, seed, hash_fn))
+        ),
     )
 
 
@@ -143,7 +171,9 @@ def with_shingles(
     )
 
 
-def lsh_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
+def lsh_bands(
+    sig: Column, bands: int, rows_per_band: int, hash_fn: str = "xxhash64"
+) -> Column:
     """array<struct<band:int, bucket:bigint>> — bucket = hash of the band's
     signature slice. bands * rows_per_band must equal len(sig). Static
     Python loop: band count is a plan-time constant, so each band slice is
@@ -152,14 +182,16 @@ def lsh_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(
+                _hash64(
                     F.concat_ws(
                         ",",
                         F.transform(
                             F.slice(sig, b * rows_per_band + 1, rows_per_band),
                             lambda v: v.cast("string"),
                         ),
-                    )
+                    ),
+                    None,
+                    hash_fn,
                 ).alias("bucket"),
             )
             for b in range(bands)
@@ -175,6 +207,7 @@ def minhash_candidates(
     bands: int = 8,
     k: int = 3,
     max_bucket_size: int | None = 200,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) sharing ≥1 LSH band
     bucket.
@@ -193,11 +226,16 @@ def minhash_candidates(
     assert bands * rows_per_band == num_perm, "bands must divide num_perm"
     shingled = with_shingles(df, id_col, text_col, k)
     signed = shingled.select(
-        "doc_id", signature_from_shingles(F.col("shingles"), num_perm).alias("__sig")
+        "doc_id",
+        signature_from_shingles(
+            F.col("shingles"), num_perm, hash_fn
+        ).alias("__sig"),
     )
     banded = signed.select(
         "doc_id",
-        F.explode(lsh_bands(F.col("__sig"), bands, rows_per_band)).alias("bb"),
+        F.explode(
+            lsh_bands(F.col("__sig"), bands, rows_per_band, hash_fn)
+        ).alias("bb"),
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     if max_bucket_size is not None:
         sizes = banded.groupBy("band", "bucket").agg(
@@ -233,6 +271,7 @@ def minhash_dedup_pairs(
     k: int = 3,
     threshold: float = 0.7,
     max_bucket_size: int | None = 200,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: candidates → exact Jaccard verify →
     (id_a, id_b, jaccard) pairs above threshold.
@@ -242,7 +281,7 @@ def minhash_dedup_pairs(
     smaller than the corpus.
     """
     cands = minhash_candidates(
-        df, id_col, text_col, num_perm, bands, k, max_bucket_size
+        df, id_col, text_col, num_perm, bands, k, max_bucket_size, hash_fn
     )
     shingled = with_shingles(df, id_col, text_col, k)
     sh_a = shingled.select(
@@ -264,10 +303,15 @@ def minhash_dedup_pairs(
 # ---------------------------------------------------------------- simhash --
 
 
-def with_simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(doc_id, simhash) — 64-bit SimHash as bigint. Per-token xxhash64,
+def with_simhash(
+    df: DataFrame, id_col: str, text_col: str, hash_fn: str = "xxhash64"
+) -> DataFrame:
+    """(doc_id, simhash) — 64-bit SimHash as bigint. Per-token hash64,
     signed bit votes folded row-locally (aggregate over the token array;
-    no shuffle), sign vector packed into one bigint.
+    no shuffle), sign vector packed into one bigint. With
+    ``hash_fn='md5'`` the per-token hash is 60-bit (top 4 bits always
+    vote -1 and never set) — slightly fewer effective bits, identical
+    semantics, DuckDB-reproducible.
 
     Tokens → votes → packed are three separate projections: the vote
     array is referenced 64 times by the packing expression, so it must be
@@ -281,7 +325,9 @@ def with_simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # bound values while expressions would be re-evaluated per reference
     hashes = toks.select(
         "doc_id",
-        F.transform(F.col("__tokens"), lambda t: F.xxhash64(t)).alias("__hashes"),
+        F.transform(
+            F.col("__tokens"), lambda t: _hash64(t, None, hash_fn)
+        ).alias("__hashes"),
     )
     zeros = F.array_repeat(F.lit(0).cast("long"), 64)
     votes = hashes.select(
@@ -330,6 +376,7 @@ def simhash_candidates(
     max_hamming: int = 3,
     bands: int = 4,
     max_bucket_size: int | None = 200,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64-bit fingerprint into
     ``bands`` chunks (pigeonhole: any pair within Hamming distance
@@ -345,7 +392,7 @@ def simhash_candidates(
     them bounds the pair fan-out to max_bucket_size² per bucket. None
     disables (exhaustive semantics for small corpora)."""
     chunk_bits = 64 // bands
-    sh = with_simhash(df, id_col, text_col)
+    sh = with_simhash(df, id_col, text_col, hash_fn)
     mask = (1 << chunk_bits) - 1
     banded = sh.select(
         "doc_id",

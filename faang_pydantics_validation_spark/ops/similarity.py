@@ -201,7 +201,11 @@ def cosine_topk_lsh(
     With H planes the corpus splits into ≈2^H buckets; expected candidate
     count is |corpus| / 2^H per query, and the join on ``bucket`` replaces
     the crossJoin. Recall < 1 by design — callers trade it against H.
-    Output schema matches :func:`cosine_topk`.
+    Output schema matches :func:`cosine_topk`; scores round to 6dp
+    before ranking with id tie-breaks (same contract as
+    :func:`cosine_topk_ivf`), so results are exactly reproducible and
+    DuckDB-oracle comparable — the plane matrix is driver-side literals
+    (:func:`hyperplane_matrix`) an oracle can embed verbatim.
     """
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -218,7 +222,7 @@ def cosine_topk_lsh(
     scored = c.join(q, "bucket").select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("__qvec"), F.col("__cvec")).alias("score"),
+        F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6).alias("score"),
     )
     if exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
@@ -458,6 +462,8 @@ def embedding_near_dup_pairs(
     ).select(
         F.col("l.doc_id").alias("id_a"),
         F.col("r.doc_id").alias("id_b"),
-        cosine(F.col("l.__vec"), F.col("r.__vec")).alias("score"),
+        # 6dp round before the threshold filter: same reproducibility /
+        # oracle-comparability contract as cosine_topk_ivf
+        F.round(cosine(F.col("l.__vec"), F.col("r.__vec")), 6).alias("score"),
     )
     return pairs.filter(F.col("score") >= threshold)

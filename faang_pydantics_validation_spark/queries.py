@@ -972,18 +972,124 @@ FROM aug GROUP BY sha256(text) HAVING COUNT(*) > 1
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs (xxhash64 — no DuckDB twin; rows-only)."""
-    return dd.minhash_dedup_pairs(
+    """MinHash+LSH near-dup pairs, ORACLE-EXACT since round 3 via
+    hash_fn='md5' (top-60-bits-of-md5 hashes DuckDB can recompute —
+    ops/dedup._hash64; xxhash64 stays the production default). Jaccard
+    rounds to 6dp for hash parity."""
+    out = dd.minhash_dedup_pairs(
         _augmented_docs(spark, sf_dir), "doc_id", "text", num_perm=64, bands=8,
-        threshold=0.7,
+        threshold=0.7, hash_fn="md5",
     )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (xxhash64 — no DuckDB twin; rows-only)."""
+    """SimHash near-dup pairs, ORACLE-EXACT since round 3 via
+    hash_fn='md5' (see q_dedup_minhash)."""
     return dd.simhash_candidates(
-        _augmented_docs(spark, sf_dir), "doc_id", "text", max_hamming=3, bands=4
+        _augmented_docs(spark, sf_dir), "doc_id", "text", max_hamming=3, bands=4,
+        hash_fn="md5",
     )
+
+
+def _sql_md5h(s: str, seed: str | None = None) -> str:
+    """DuckDB twin of ops/dedup._hash64(hash_fn='md5'): top 60 bits of
+    md5 (seed appended as ':<seed>') — bit-equal to Spark's
+    conv(substring(md5(...),1,15),16,10) (parity pinned by
+    tests/test_ops.py::test_md5_hash64_duckdb_parity)."""
+    inp = s if seed is None else f"{s}||':'||CAST({seed} AS VARCHAR)"
+    return f"CAST(('0x'||substring(md5({inp}),1,15)) AS BIGINT)"
+
+
+#: shared corpus prep for the dedup oracle twins: augmented docs →
+#: tokens (empty-text guard) — mirrors _augmented_docs + ops/dedup.tokenize
+_SQL_DEDUP_TOKS = r"""
+aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0),
+toks AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE string_split_regex(lower(trim(text)), '\s+')
+         END AS tk
+  FROM aug)
+"""
+
+
+SQL_DEDUP_MINHASH = f"""
+WITH {_SQL_DEDUP_TOKS},
+sh AS (
+  -- k=3 word shingles; short docs get one whole-text shingle, empty docs ['']
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(tk) - 2, 1)),
+           i -> array_to_string(tk[i:i+2], ' '))) AS shingles
+  FROM toks),
+sig AS (
+  -- 64 minhash values: min over shingles of seeded md5-60bit hash
+  SELECT doc_id, shingles,
+         list_transform(generate_series(0, 63),
+           p -> list_min(list_transform(shingles,
+                  s -> {_sql_md5h('s', 'p')}))) AS sg
+  FROM sh),
+banded AS (
+  -- 8 bands x 8 rows: bucket = md5-60bit of the comma-joined slice
+  SELECT doc_id, t.b AS band,
+         {_sql_md5h("array_to_string(sg[t.b*8+1:t.b*8+8], ',')")} AS bucket
+  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) t),
+capped AS (
+  SELECT doc_id, band, bucket FROM (
+    SELECT banded.*, COUNT(*) OVER (PARTITION BY band, bucket) AS bsize
+    FROM banded) x
+  WHERE bsize <= 200),
+cands AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM capped l JOIN capped r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+verified AS (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(a.shingles, b.shingles))
+           / (len(a.shingles) + len(b.shingles)
+              - len(list_intersect(a.shingles, b.shingles))) AS j
+  FROM cands c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b)
+SELECT id_a, id_b, round(j, 6) AS jaccard FROM verified WHERE j >= 0.7
+"""
+
+
+SQL_DEDUP_SIMHASH = f"""
+WITH {_SQL_DEDUP_TOKS},
+hs AS (
+  SELECT doc_id,
+         list_transform(tk, t -> {_sql_md5h('t')}) AS h
+  FROM toks),
+fp AS (
+  -- 60-bit simhash: bit b set iff the signed vote sum over tokens > 0
+  -- (empty docs: list_sum NULL -> coalesce 0 -> simhash 0)
+  SELECT doc_id,
+         CAST(list_sum(list_transform(generate_series(0, 59),
+           b -> CASE WHEN coalesce(list_sum(list_transform(h,
+                  v -> CASE WHEN (v >> b) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0
+                THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS simhash
+  FROM hs),
+banded AS (
+  SELECT doc_id, simhash, t.b AS band,
+         (simhash >> (t.b * 16)) & 65535 AS chunk
+  FROM fp CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) t),
+capped AS (
+  SELECT doc_id, simhash, band, chunk FROM (
+    SELECT banded.*, COUNT(*) OVER (PARTITION BY band, chunk) AS bsize
+    FROM banded) x
+  WHERE bsize <= 200),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+         CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
+  FROM capped l JOIN capped r
+    ON l.band = r.band AND l.chunk = r.chunk AND l.doc_id < r.doc_id)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+"""
 
 
 def q_text_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1227,14 +1333,19 @@ SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 10
 
 
 def q_sim_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (xxhash64 planes; rows-only check)."""
+    """LSH-bucketed approximate top-k, ORACLE-EXACT since round 3: the
+    hyperplane matrix is driver-side Python (sim.hyperplane_matrix), so
+    the DuckDB twin embeds the same plane literals and reproduces the
+    bucket ids bit-for-bit (ordered-fold dots, sign test); scores round
+    to 6dp before ranking with id tie-breaks."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return sim.cosine_topk_lsh(emb, queries, dim=64, k=10, n_planes=6)
 
 
 def q_sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via LSH buckets (rows-only check).
+    """Embedding-cosine near-dup pairs via LSH buckets, ORACLE-EXACT
+    since round 3 (plane-literal buckets — see q_sim_cosine_topk_lsh).
     Corpus is augmented with exact copies of every 10th vector so true
     near-dups exist (random embeddings are otherwise never cosine>0.8)."""
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -1244,6 +1355,64 @@ def q_sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.embedding_near_dup_pairs(
         emb.unionByName(copies), dim=64, threshold=0.8, n_planes=6
     )
+
+
+def _sql_lsh_bucket(v: str, dim: int = 64, n_planes: int = 6) -> str:
+    """DuckDB twin of sim.lsh_bucket: the SAME driver-side hyperplane
+    matrix (sim.hyperplane_matrix — xxhash64-derived literals) embedded
+    verbatim, each projection an ordered-fold dot (bitwise equal to the
+    Spark fold — see _sql_dot), sign-tested and packed with plane p at
+    bit p exactly like the Spark acc*2+bit fold over HIGH→LOW planes."""
+    mat = sim.hyperplane_matrix(dim, n_planes)
+    terms = []
+    for p, row in enumerate(mat):
+        lit = "[" + ", ".join(repr(x) for x in row) + "]"
+        d = (
+            f"list_sum(list_transform(generate_series(1, {dim}), "
+            f"i -> CAST({v}[i] AS DOUBLE) * ({lit})[i]))"
+        )
+        terms.append(f"(CASE WHEN {d} > 0 THEN 1 ELSE 0 END) * {2 ** p}")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+SQL_SIM_COSINE_TOPK_LSH = f"""
+WITH c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+                  {_sql_lsh_bucket('embedding')} AS bucket
+           FROM embeddings),
+     q AS (SELECT vec_id AS query_id, embedding AS qv,
+                  {_sql_lsh_bucket('embedding')} AS bucket
+           FROM embeddings WHERE vec_id % 50 = 0),
+     s AS (SELECT q.query_id, c.neighbor_id,
+                  {_sql_cos('q.qv', 'c.cv')} AS score
+           FROM c JOIN q USING (bucket)
+           WHERE c.neighbor_id <> q.query_id),
+     r AS (SELECT query_id, neighbor_id, score,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, neighbor_id) AS INT) AS rank
+           FROM s)
+SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 10
+"""
+
+
+SQL_SIM_EMBEDDING_NEARDUP = f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+  WHERE vec_id % 10 = 0),
+     h0 AS (SELECT vec_id AS doc_id, embedding AS v,
+                   {_sql_lsh_bucket('embedding')} AS bucket
+            FROM corpus),
+     h AS (SELECT doc_id, v, bucket FROM (
+             SELECT h0.*, COUNT(*) OVER (PARTITION BY bucket) AS bsize
+             FROM h0) t
+           WHERE bsize <= 200),
+     p AS (SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+                  {_sql_cos('l.v', 'r.v')} AS score
+           FROM h l JOIN h r
+             ON l.bucket = r.bucket AND l.doc_id < r.doc_id)
+SELECT id_a, id_b, score FROM p WHERE score >= 0.8
+"""
 
 
 # -------------------------------------------------------------- multimodal --
@@ -1814,6 +1983,10 @@ ORACLE_SQL: dict[str, str] = {
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
     "sim_cosine_topk": SQL_SIM_COSINE_TOPK,
     "sim_cosine_topk_ivf": SQL_SIM_COSINE_TOPK_IVF,
+    "sim_cosine_topk_lsh": SQL_SIM_COSINE_TOPK_LSH,
+    "sim_embedding_neardup": SQL_SIM_EMBEDDING_NEARDUP,
+    "dedup_minhash": SQL_DEDUP_MINHASH,
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
     "multimodal_meta": SQL_MULTIMODAL_META,
     "organism_batch": SQL_ORGANISM_BATCH,
     "sample_types_batch": SQL_SAMPLE_TYPES_BATCH,

@@ -84,6 +84,42 @@ def test_simhash_bucket_cap(spark):
     assert uncapped.count() == 50 * 49 // 2
 
 
+def test_md5_hash64_duckdb_parity(spark):
+    """The 'md5' hash_fn (ops/dedup._hash64) must be BIT-EQUAL to
+    DuckDB's CAST(('0x'||substring(md5(..),1,15)) AS BIGINT) — the
+    property the dedup_minhash / dedup_simhash oracle twins rest on.
+    Covers seeded and unseeded forms, empty string and unicode."""
+    import duckdb
+
+    vals = ["tok", "hello world", "", "ünïcödé", "a:b,c"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = df.select(
+        "s",
+        dd._hash64(F.col("s"), None, "md5").alias("h"),
+        dd._hash64(F.col("s"), F.lit(7), "md5").alias("h7"),
+    ).collect()
+    con = duckdb.connect()
+    for r in got:
+        d = con.execute(
+            "SELECT CAST(('0x'||substring(md5(?),1,15)) AS BIGINT),"
+            "       CAST(('0x'||substring(md5(?||':7'),1,15)) AS BIGINT)",
+            [r.s, r.s],
+        ).fetchone()
+        assert r.h == d[0] and r.h7 == d[1], r.s
+
+
+def test_minhash_md5_variant_same_semantics(spark, docs):
+    """hash_fn='md5' changes candidate generation only — verified pairs
+    still contain the exact dup and never the unrelated docs."""
+    pairs = dd.minhash_dedup_pairs(
+        docs, "doc_id", "text", num_perm=64, bands=16, threshold=0.5,
+        hash_fn="md5",
+    ).collect()
+    got = {(p.id_a, p.id_b) for p in pairs}
+    assert (1, 3) in got
+    assert all({a, b} != {4, 5} for a, b in got)
+
+
 def test_simhash(spark, docs):
     sh = {r.doc_id: r.simhash for r in dd.with_simhash(docs, "doc_id", "text").collect()}
     assert sh[1] == sh[3]  # identical text → identical fingerprint
@@ -128,7 +164,9 @@ def test_lsh_topk_is_subset_scored_identically(spark, vectors):
     approx = sim.cosine_topk_lsh(vectors, qs, dim=8, k=5, n_planes=4).collect()
     assert approx  # bucket contains at least the exact-duplicate directions
     for r in approx:
-        assert abs(exact[r.neighbor_id] - r.score) < 1e-9
+        # LSH scores round to 6dp (oracle contract, like IVF); the
+        # underlying cosine must agree with the exact path
+        assert abs(round(exact[r.neighbor_id], 6) - r.score) < 1e-12
 
 
 def test_ivf_assign_is_row_local_and_deterministic(spark, vectors):
