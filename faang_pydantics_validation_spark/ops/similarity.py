@@ -195,16 +195,19 @@ def cosine_topk_lsh(
     vec_col: str = "embedding",
     query_id_col: str = "vec_id",
     exclude_self: bool = True,
+    round_dp: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only corpus rows in the query's LSH bucket.
 
     With H planes the corpus splits into ≈2^H buckets; expected candidate
     count is |corpus| / 2^H per query, and the join on ``bucket`` replaces
     the crossJoin. Recall < 1 by design — callers trade it against H.
-    Output schema matches :func:`cosine_topk`; scores round to 6dp
-    before ranking with id tie-breaks (same contract as
-    :func:`cosine_topk_ivf`), so results are exactly reproducible and
-    DuckDB-oracle comparable — the plane matrix is driver-side literals
+    Output schema matches :func:`cosine_topk`.
+
+    ``round_dp``: production default ``None`` ranks RAW cosine scores.
+    The oracle contract query passes 6 so rank ties resolve identically
+    in Spark and DuckDB (same opt-in pattern as ``hash_fn='md5'`` in
+    ops.dedup) — the plane matrix is driver-side literals
     (:func:`hyperplane_matrix`) an oracle can embed verbatim.
     """
     c = corpus.select(
@@ -219,10 +222,11 @@ def cosine_topk_lsh(
             lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
         )
     )
+    raw = cosine(F.col("__qvec"), F.col("__cvec"))
     scored = c.join(q, "bucket").select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6).alias("score"),
+        (F.round(raw, round_dp) if round_dp is not None else raw).alias("score"),
     )
     if exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
@@ -423,10 +427,17 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket_size: int | None = 200,
+    round_dp: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH-cohabiting pairs with
     cosine ≥ threshold → (id_a, id_b, score). The all-pairs check never
     materializes — only within-bucket pairs are scored.
+
+    ``round_dp``: production default ``None`` thresholds the RAW cosine.
+    The oracle contract query passes 6 for exact cross-engine
+    reproducibility (same opt-in pattern as ``hash_fn='md5'`` in
+    ops.dedup); rounding before the filter widens the threshold by up to
+    5e-7, so it is never on by default.
 
     ``max_bucket_size`` drops over-full buckets BEFORE pairing, exactly
     like minhash/simhash_candidates (ops/dedup.py): degenerate corpora
@@ -459,11 +470,11 @@ def embedding_near_dup_pairs(
         right,
         on=(F.col("l.bucket") == F.col("r.bucket"))
         & (F.col("l.doc_id") < F.col("r.doc_id")),
-    ).select(
+    )
+    raw = cosine(F.col("l.__vec"), F.col("r.__vec"))
+    pairs = pairs.select(
         F.col("l.doc_id").alias("id_a"),
         F.col("r.doc_id").alias("id_b"),
-        # 6dp round before the threshold filter: same reproducibility /
-        # oracle-comparability contract as cosine_topk_ivf
-        F.round(cosine(F.col("l.__vec"), F.col("r.__vec")), 6).alias("score"),
+        (F.round(raw, round_dp) if round_dp is not None else raw).alias("score"),
     )
     return pairs.filter(F.col("score") >= threshold)

@@ -1009,9 +1009,14 @@ aug AS (
   UNION ALL
   SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0),
 toks AS (
+  -- coalesce: NULL text must take the empty path — Spark's with_shingles
+  -- gives NULL and '' the identical [''] shingle set, so the oracle must
+  -- too (two NULL-text docs pair at jaccard 1.0 on both engines).
+  -- [ \t\n\x0B\f\r]: Java's \s includes vertical tab, RE2's does not —
+  -- the explicit class is the Java set, matching ops.dedup.tokenize.
   SELECT doc_id,
-         CASE WHEN length(trim(text)) = 0 THEN []
-              ELSE string_split_regex(lower(trim(text)), '\s+')
+         CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN []
+              ELSE string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')
          END AS tk
   FROM aug)
 """
@@ -1020,11 +1025,13 @@ toks AS (
 SQL_DEDUP_MINHASH = f"""
 WITH {_SQL_DEDUP_TOKS},
 sh AS (
-  -- k=3 word shingles; short docs get one whole-text shingle, empty docs ['']
+  -- k=3 word shingles; short docs get one whole-text shingle, empty docs
+  -- ['']: array_to_string([]) is NULL in DuckDB where Spark's concat_ws
+  -- gives '' — coalesce to match (NULL/empty docs must pair at j=1.0)
   SELECT doc_id,
          list_distinct(list_transform(
            generate_series(1, greatest(len(tk) - 2, 1)),
-           i -> array_to_string(tk[i:i+2], ' '))) AS shingles
+           i -> coalesce(array_to_string(tk[i:i+2], ' '), ''))) AS shingles
   FROM toks),
 sig AS (
   -- 64 minhash values: min over shingles of seeded md5-60bit hash
@@ -1110,10 +1117,13 @@ def q_text_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TEXT_JACCARD_PAIRS = """
 WITH toks AS (
   -- empty-text guard: string_split_regex('') = [''] in DuckDB, [] in
-  -- the Spark tokenizer; normalize to the empty list
+  -- the Spark tokenizer; normalize to the empty list.
+  -- [ \\t\\n\\x0B\\f\\r]: Java's \\s includes vertical tab, RE2's does
+  -- not — the explicit class is the Java set (ops.dedup.tokenize parity).
   SELECT doc_id,
          CASE WHEN length(trim(text)) = 0 THEN []
-              ELSE list_distinct(string_split_regex(lower(trim(text)), '\\s+'))
+              ELSE list_distinct(string_split_regex(lower(trim(text)),
+                                                    '[ \\t\\n\\x0B\\f\\r]+'))
          END AS tk
   FROM documents
 )
@@ -1336,11 +1346,15 @@ def q_sim_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k, ORACLE-EXACT since round 3: the
     hyperplane matrix is driver-side Python (sim.hyperplane_matrix), so
     the DuckDB twin embeds the same plane literals and reproduces the
-    bucket ids bit-for-bit (ordered-fold dots, sign test); scores round
-    to 6dp before ranking with id tie-breaks."""
+    bucket ids bit-for-bit (ordered-fold dots, sign test); round_dp=6 is
+    the oracle opt-in — scores round to 6dp before ranking with id
+    tie-breaks so ranks resolve identically cross-engine (production
+    default is raw scores)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
-    return sim.cosine_topk_lsh(emb, queries, dim=64, k=10, n_planes=6)
+    return sim.cosine_topk_lsh(
+        emb, queries, dim=64, k=10, n_planes=6, round_dp=6
+    )
 
 
 def q_sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1353,7 +1367,7 @@ def q_sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
     )
     return sim.embedding_near_dup_pairs(
-        emb.unionByName(copies), dim=64, threshold=0.8, n_planes=6
+        emb.unionByName(copies), dim=64, threshold=0.8, n_planes=6, round_dp=6
     )
 
 
@@ -1367,10 +1381,7 @@ def _sql_lsh_bucket(v: str, dim: int = 64, n_planes: int = 6) -> str:
     terms = []
     for p, row in enumerate(mat):
         lit = "[" + ", ".join(repr(x) for x in row) + "]"
-        d = (
-            f"list_sum(list_transform(generate_series(1, {dim}), "
-            f"i -> CAST({v}[i] AS DOUBLE) * ({lit})[i]))"
-        )
+        d = _sql_dot(v, f"({lit})", dim)
         terms.append(f"(CASE WHEN {d} > 0 THEN 1 ELSE 0 END) * {2 ** p}")
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 

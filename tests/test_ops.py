@@ -120,6 +120,59 @@ def test_minhash_md5_variant_same_semantics(spark, docs):
     assert all({a, b} != {4, 5} for a, b in got)
 
 
+def test_dedup_oracle_twins_null_and_vertical_tab_parity(spark, tmp_path):
+    """Adversarial fixture for the dedup oracle twins — two latent parity
+    gaps the sf0.01 data never exercises:
+
+    * NULL text: Spark's with_shingles maps NULL and '' to the identical
+      [''] shingle set, so two NULL-text docs pair at jaccard 1.0; the
+      DuckDB twin must coalesce NULL into the empty path to match.
+    * vertical tab (U+000B): Java's \\s includes it, RE2's does not —
+      both twins use the explicit Java class [ \\t\\n\\x0B\\f\\r] so a
+      VT-separated doc tokenizes identically to its space-separated twin.
+    """
+    import duckdb
+
+    from faang_pydantics_validation_spark import queries as Q
+
+    rows = [
+        (1, None),
+        (2, None),
+        (3, ""),
+        (4, "word1\x0bword2 word3"),
+        (6, "word1 word2 word3"),
+        (7, "alpha beta gamma delta epsilon"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    pq = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.parquet(pq)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}/*.parquet')"
+    )
+
+    got = sorted(
+        (r.id_a, r.id_b, round(r.jaccard, 6))
+        for r in Q.q_dedup_minhash(spark, str(tmp_path)).collect()
+    )
+    want = sorted(
+        (a, b, round(j, 6))
+        for a, b, j in con.execute(Q.SQL_DEDUP_MINHASH).fetchall()
+    )
+    assert got == want
+    assert (1, 2, 1.0) in got  # NULL-text docs pair on BOTH engines
+    assert any({a, b} == {4, 6} for a, b, _ in got)  # VT ≡ space tokens
+
+    got_sh = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in Q.q_dedup_simhash(spark, str(tmp_path)).collect()
+    )
+    want_sh = sorted(map(tuple, con.execute(Q.SQL_DEDUP_SIMHASH).fetchall()))
+    assert got_sh == want_sh
+    assert any({a, b} == {4, 6} for a, b, _ in got_sh)  # hamming 0 pair
+
+
 def test_simhash(spark, docs):
     sh = {r.doc_id: r.simhash for r in dd.with_simhash(docs, "doc_id", "text").collect()}
     assert sh[1] == sh[3]  # identical text → identical fingerprint
@@ -164,9 +217,9 @@ def test_lsh_topk_is_subset_scored_identically(spark, vectors):
     approx = sim.cosine_topk_lsh(vectors, qs, dim=8, k=5, n_planes=4).collect()
     assert approx  # bucket contains at least the exact-duplicate directions
     for r in approx:
-        # LSH scores round to 6dp (oracle contract, like IVF); the
-        # underlying cosine must agree with the exact path
-        assert abs(round(exact[r.neighbor_id], 6) - r.score) < 1e-12
+        # production default is RAW scores (round_dp=None is the
+        # oracle-only opt-in); exact path rounds to 6dp, so compare there
+        assert abs(round(exact[r.neighbor_id], 6) - round(r.score, 6)) < 1e-12
 
 
 def test_ivf_assign_is_row_local_and_deterministic(spark, vectors):
