@@ -435,3 +435,104 @@ def simhash_candidates(
         .filter(F.col("hamming") <= max_hamming)
     )
     return pairs
+
+
+# ------------------------------------------------------------- components --
+
+
+def duplicate_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over near-duplicate candidate pairs:
+    ``(doc_id, component_id)`` for every id appearing in ``pairs``, where
+    ``component_id`` is the MINIMUM id reachable through the pair graph.
+    The canonical last stage of the dedup ladder — minhash/simhash emit
+    PAIRS, but transitive clusters (A≈B, B≈C ⇒ {A,B,C}) need one
+    representative per component, not per pair.
+
+    Algorithm: min-label propagation + pointer jumping (path doubling).
+    Each round does
+      1. propagate:  comp(v) ← min(comp(v), min over neighbors comp(u))
+      2. jump:       comp(v) ← comp(comp(v))
+    so the distance a minimum travels roughly doubles per round —
+    convergence in O(log diameter) rounds, not O(diameter) (the classic
+    MapReduce-CC recipe, e.g. Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14).
+
+    Scale shape: every round is two shuffles keyed on ids of the PAIR
+    GRAPH only (near-dup pairs ≪ corpus; the full table never enters).
+    ``localCheckpoint`` truncates lineage each round so the plan stays
+    constant-size across iterations — on a multi-executor cluster prefer
+    ``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()`` for
+    fault-tolerant truncation; executor-local blocks are fine on one node.
+
+    Ids keep their column type; "minimum" is the type's natural ordering.
+    Docs in no pair are absent (they are their own singleton component).
+    """
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .groupBy(F.col("dst").alias("nid"))
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        prop = labels.join(nbr, labels["id"] == nbr["nid"], "left").select(
+            "id",
+            F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias(
+                "comp"
+            ),
+        )
+        ptr = prop.select(F.col("id").alias("pid"), F.col("comp").alias("pcomp"))
+        new = (
+            prop.join(ptr, prop["comp"] == ptr["pid"], "left")
+            .select("id", F.coalesce("pcomp", "comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("component_id")
+    )
+
+
+def drop_duplicate_components(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Keep exactly one representative per near-duplicate component: a row
+    survives iff its id IS its component's minimum (or it is in no pair).
+    The survivor rule is deterministic — never dropDuplicates, whose
+    survivor depends on partition order. One left-anti join against the
+    loser set; no forced broadcast — at web scale losers can be a large
+    fraction of the corpus, so AQE picks broadcast vs shuffle by size."""
+    comps = duplicate_components(pairs, id_a=id_a, id_b=id_b, max_iter=max_iter)
+    losers = comps.filter(F.col("doc_id") != F.col("component_id")).select(
+        F.col("doc_id").alias("__loser_id")
+    )
+    return df.join(losers, df[id_col] == F.col("__loser_id"), "left_anti")

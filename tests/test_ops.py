@@ -477,3 +477,67 @@ def test_multimodal_frame_sampling(spark):
         )
         joined = b"".join(c for _, c in chunks)
         assert src[sid].startswith(joined) and len(joined) > 0
+
+
+def test_duplicate_components_clusters_and_recursive_cte_oracle(spark):
+    """Transitive near-dup clusters resolve to min-id components, matching
+    a DuckDB recursive-CTE transitive closure on the same pair list."""
+    import duckdb
+
+    pair_rows = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)]
+    pairs = spark.createDataFrame(pair_rows, "id_a int, id_b int")
+    got = {
+        r.doc_id: r.component_id
+        for r in dd.duplicate_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p (src int, dst int)")
+    con.executemany("INSERT INTO p VALUES (?, ?)", pair_rows)
+    want = dict(
+        con.execute(
+            """
+            WITH RECURSIVE e AS (
+              SELECT src, dst FROM p UNION SELECT dst, src FROM p),
+            reach(a, b) AS (
+              SELECT src, dst FROM e
+              UNION
+              SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b)
+            SELECT a, least(a, min(b)) FROM reach GROUP BY a
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_duplicate_components_long_chain_converges_logarithmically(spark):
+    """A 33-node chain has diameter 32: plain min-propagation needs 32
+    rounds, pointer jumping O(log 32). max_iter=10 passes only with the
+    doubling step working."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(32)], "id_a int, id_b int"
+    )
+    got = dd.duplicate_components(pairs, max_iter=10).collect()
+    assert len(got) == 33
+    assert all(r.component_id == 0 for r in got)
+
+
+def test_drop_duplicate_components_end_to_end(spark, docs):
+    """minhash pairs → components → one deterministic survivor (min id)
+    per near-dup cluster; unpaired docs untouched."""
+    pairs = dd.minhash_dedup_pairs(
+        docs, "doc_id", "text", num_perm=64, bands=16, threshold=0.5
+    )
+    kept = {
+        r.doc_id
+        for r in dd.drop_duplicate_components(docs, pairs, id_col="doc_id")
+        .select("doc_id")
+        .collect()
+    }
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    paired = {x for r in pairs.select("id_a", "id_b").collect() for x in r}
+    assert 1 in kept  # min id of the near-dup cluster survives
+    assert 3 not in kept  # its exact duplicate is dropped
+    assert all_ids - paired <= kept  # docs in no pair always survive
