@@ -118,6 +118,85 @@ def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    min_mean_token_len: float = 2.0,
+    max_mean_token_len: float = 12.0,
+    max_symbol_ratio: float = 0.3,
+    max_digit_ratio: float = 0.3,
+    min_stopword_hits: int = 1,
+    max_dup_line_ratio: float = 0.5,
+) -> DataFrame:
+    """Composite keep/drop verdict in the style of published web-corpus
+    quality heuristics (Gopher/C4-family thresholds): appends
+
+    * ``drop_reasons`` — array<string> of every rule the doc violates
+      (empty ⇒ keep), so corpus curation is AUDITABLE per document and
+      per-rule drop rates fall out of one ``explode``/groupBy;
+    * ``quality_keep`` — boolean, true iff no rule fired.
+
+    Rules: token count in [min_tokens, max_tokens]; mean token length in
+    [min, max]; punctuation-symbol ratio; digit ratio; at least
+    ``min_stopword_hits`` stopword marker hits; duplicate-line ratio
+    (1 - distinct/total lines) below cap — the cheap repetition signal.
+
+    All pure column predicates over ONE staged projection (tokens/lines
+    arrays materialize once — multiply-referenced aliases are not
+    re-inlined), so the whole verdict fuses with the scan: zero shuffle,
+    zero Python. NULL text coalesces to '' (dropped by min_tokens) so
+    verdicts are never NULL.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    staged = df.withColumns(
+        {
+            "__qf_text": text,
+            "__qf_ntok": token_count_whitespace(text),
+            "__qf_lines": F.split(text, r"\n"),
+        }
+    )
+    t = F.col("__qf_text")
+    n_chars = F.length(t)
+    safe_chars = F.greatest(n_chars, F.lit(1)).cast("double")
+    n_tokens = F.col("__qf_ntok")
+    mean_tok = n_chars.cast("double") / F.greatest(n_tokens, F.lit(1))
+    symbol_ratio = F.length(F.regexp_replace(t, r"[^.,;:!?#|*=+-]", "")) / safe_chars
+    digit_ratio = F.length(F.regexp_replace(t, r"[^0-9]", "")) / safe_chars
+    padded = F.concat(F.lit(" "), t, F.lit(" "))
+    stop_hits = sum(
+        (occurrence_count(padded, f" {m} ") for m in LANG_MARKERS["en"]),
+        F.lit(0),
+    )
+    lines = F.col("__qf_lines")
+    dup_line_ratio = F.lit(1.0) - (
+        F.size(F.array_distinct(lines)).cast("double") / F.size(lines)
+    )
+    rules: list[tuple[str, Column]] = [
+        ("too_few_tokens", n_tokens < min_tokens),
+        ("too_many_tokens", n_tokens > max_tokens),
+        (
+            "mean_token_len",
+            (mean_tok < min_mean_token_len) | (mean_tok > max_mean_token_len),
+        ),
+        ("symbol_ratio", symbol_ratio > max_symbol_ratio),
+        ("digit_ratio", digit_ratio > max_digit_ratio),
+        ("no_stopwords", stop_hits < min_stopword_hits),
+        ("dup_lines", dup_line_ratio > max_dup_line_ratio),
+    ]
+    reasons = F.filter(
+        F.array(*[F.when(cond, F.lit(rid)) for rid, cond in rules]),
+        lambda x: x.isNotNull(),
+    )
+    return (
+        staged.withColumn("drop_reasons", reasons)
+        .withColumn("quality_keep", F.size("drop_reasons") == 0)
+        .drop("__qf_text", "__qf_ntok", "__qf_lines")
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: sha256 over casefolded,
     whitespace-collapsed text — the cheap exact-near-dup key (differs from

@@ -541,3 +541,57 @@ def test_drop_duplicate_components_end_to_end(spark, docs):
     assert 1 in kept  # min id of the near-dup cluster survives
     assert 3 not in kept  # its exact duplicate is dropped
     assert all_ids - paired <= kept  # docs in no pair always survive
+
+
+def test_quality_filter_reasons_and_keep(spark):
+    """Each rule fires on a crafted violator and nothing else; clean prose
+    passes with zero reasons; NULL text never yields a NULL verdict."""
+    rows = [
+        (1, "the cat and the dog sat of the mat quietly today"),  # clean
+        (2, "tiny doc"),                                          # too few tokens
+        (3, "!!!! .... ;;;; the and of ok: ???? ,,,,"),           # symbol ratio
+        (4, "12345 67890 11111 22222 the and of padding words"),  # digit ratio
+        (5, "zz qq ww ee rr tt yy uu ii oo pp"),                  # no stopwords
+        (6, "same line\nsame line\nsame line\nsame line\nthe and of end"),  # dup lines (1 - 2/5 = 0.6 > 0.5)
+        (7, None),                                                # NULL ⇒ drop
+        (8, "supercalifragilisticexpialidocious anticonstitutionnellement"
+            " floccinaucinihilipilification the of"),             # mean token len
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        r.doc_id: (r.quality_keep, sorted(r.drop_reasons))
+        for r in tx.quality_filter(df).collect()
+    }
+    assert out[1] == (True, [])
+    assert out[2][0] is False and "too_few_tokens" in out[2][1]
+    assert out[3][0] is False and "symbol_ratio" in out[3][1]
+    assert out[4][0] is False and "digit_ratio" in out[4][1]
+    assert out[5][0] is False and out[5][1] == ["no_stopwords"]
+    assert out[6][0] is False and "dup_lines" in out[6][1]
+    assert out[7][0] is False and "too_few_tokens" in out[7][1]
+    assert out[8][0] is False and "mean_token_len" in out[8][1]
+
+
+def test_quality_filter_plan_is_scan_local(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id int, text string")
+    plan = tx.quality_filter(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # pure codegen'd expressions, no UDF
+
+
+def test_quality_filter_per_rule_drop_rates(spark):
+    """The auditability contract: per-rule drop rates fall out of one
+    explode/groupBy over drop_reasons."""
+    rows = [(i, "zz qq ww ee rr tt yy uu ii oo pp") for i in range(10)] + [
+        (100, "the cat and the dog sat of the mat quietly today")
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    rates = {
+        r.reason: r.n
+        for r in tx.quality_filter(df)
+        .select(F.explode("drop_reasons").alias("reason"))
+        .groupBy("reason")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert rates == {"no_stopwords": 10}
