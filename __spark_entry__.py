@@ -3,9 +3,14 @@
 ``queries()`` / ``oracle_sql()`` delegate to the registry in
 ``faang_pydantics_validation_spark.queries`` — one entry per operator from
 SURVEY.md §2 plus the training-data-pipeline ops (dedup, similarity, text
-analysis, multimodal plumbing). Keys absent from ``oracle_sql()`` are the
-xxhash64-based ops DuckDB cannot replicate (MinHash/SimHash/LSH) — the
-driver records rows-only checks for those; pytest covers their semantics.
+analysis, multimodal plumbing). Since round 3 every one of the 50 entries
+has a DuckDB oracle twin: the hash-based ops opt into reproducible
+primitives for the contract (hash_fn='md5' top-60-bits hashes, round_dp=6
+scores, driver-side plane/centroid literals embedded in the SQL) while
+keeping xxhash64 / raw scores as production defaults. The registry is
+pinned at 50 because the driver harvests the first 50 entries; newer ops
+(component dedup, sampling, quality filter) are covered by DuckDB-parity
+pytest tests instead.
 """
 
 from __future__ import annotations
