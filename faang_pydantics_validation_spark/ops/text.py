@@ -208,3 +208,64 @@ def fingerprint(text: Column) -> Column:
 def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(… input cols …, pred_lang) in one narrow pass."""
     return df.withColumn("pred_lang", detect_language(F.col(text_col)))
+
+
+#: PII-ish scrubbing patterns. Deliberately PORTABLE: no backreferences,
+#: no lookaround, ASCII classes only — the identical literal pattern runs
+#: in Spark (java.util.regex) and DuckDB (RE2) with identical matches, so
+#: redaction is cross-engine auditable. Order matters: url_cred runs
+#: before email so ``user:pass@host`` isn't half-eaten as an email.
+REDACTION_PATTERNS: dict[str, str] = {
+    "url_cred": r"://[^/\s:@]+:[^/\s:@]+@",
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "phone": r"\+[0-9][0-9 ()-]{7,}[0-9]",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+    token: str = "[REDACTED-{kind}]",
+) -> DataFrame:
+    """Scrub PII-like spans before a corpus ships to training: appends
+
+    * ``text_redacted`` — ``text_col`` with every match of every pattern
+      replaced by ``token`` (``{kind}`` substituted, e.g.
+      ``[REDACTED-email]``);
+    * ``redaction_counts`` — map<kind, int> of matches each pattern
+      ACTUALLY replaced (counted on the running text, after earlier
+      patterns ran — so a ``user:pass@host`` credential counts as
+      url_cred, not also as an email), making corpus-level PII incidence
+      one explode/groupBy away and "0 redactions" an assertable fact.
+
+    Staged ``regexp_replace`` + ``regexp_extract_all`` — pure codegen'd
+    expressions, row-local, zero shuffle, scan-fused; each pattern's
+    stage materializes the running text once (multiply-referenced
+    aliases are not re-inlined). Patterns apply in dict order. NULL text
+    stays NULL in ``text_redacted`` with all-zero counts.
+    """
+    pats = REDACTION_PATTERNS if patterns is None else patterns
+    out = df.withColumn("__red", F.col(text_col))
+    for kind, pat in pats.items():
+        out = out.withColumn(
+            f"__cnt_{kind}",
+            F.size(
+                F.regexp_extract_all(
+                    F.coalesce(F.col("__red"), F.lit("")), F.lit(pat), F.lit(0)
+                )
+            ),
+        ).withColumn(
+            "__red",
+            F.regexp_replace(F.col("__red"), pat, token.replace("{kind}", kind)),
+        )
+    counts = F.map_from_arrays(
+        F.array(*[F.lit(k) for k in pats]),
+        F.array(*[F.col(f"__cnt_{k}") for k in pats]),
+    )
+    return (
+        out.withColumn("redaction_counts", counts)
+        .withColumnRenamed("__red", "text_redacted")
+        .drop(*[f"__cnt_{k}" for k in pats])
+    )
