@@ -204,6 +204,51 @@ def ivf_crossover(spark) -> dict:
     }
 
 
+def code_ops_block(spark, n_rows: int) -> dict:
+    """Wall times for the code-payload curation ops over the SAME
+    materialized 1M-row parquet the headline validates — one number per
+    op family so scale regressions in the scan-fused passes (filter,
+    secrets+license) vs the shuffling ones (repo profile, winnowing
+    index, vocabulary) are separately visible. Winnowing/vocab run on a
+    deterministic id-hash subsample (SPARK_GRAFT_BENCH_WINNOW_ROWS,
+    default 200k) — their per-row cost is O(len·window) / O(tokens) and
+    the subsample keeps the whole block under a minute on this host."""
+    from faang_pydantics_validation_spark.ops import code as cd
+    from faang_pydantics_validation_spark.ops import text as tx
+
+    df = spark.read.parquet(materialize_code_files(spark, n_rows))
+    out: dict = {"rows": n_rows}
+
+    t0 = time.monotonic()
+    cd.code_quality_filter(df).agg(
+        F.sum(F.col("code_keep").cast("int"))
+    ).collect()
+    out["quality_filter_sec"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    cd.detect_license(cd.scan_secrets(df)).agg(
+        F.sum(F.col("has_secrets").cast("int")),
+        F.count("license_id"),
+    ).collect()
+    out["secrets_license_sec"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    cd.repo_profile(df).agg(F.count(F.lit(1))).collect()
+    out["repo_profile_sec"] = round(time.monotonic() - t0, 3)
+
+    n_sub = int(os.environ.get("SPARK_GRAFT_BENCH_WINNOW_ROWS", "200000"))
+    sub = df.filter(F.pmod(F.xxhash64("path"), F.lit(max(n_rows // n_sub, 1))) == 0)
+    out["winnow_rows"] = n_sub
+    t0 = time.monotonic()
+    cd.winnow_fingerprints(sub, "path").agg(F.count(F.lit(1))).collect()
+    out["winnow_fingerprints_sec"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    tx.vocab_stats(sub, "content").collect()
+    out["vocab_stats_sec"] = round(time.monotonic() - t0, 3)
+    return out
+
+
 def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -342,6 +387,13 @@ def main() -> None:
     else:
         crossover = None
 
+    if time.monotonic() < deadline and os.environ.get(
+        "SPARK_GRAFT_BENCH_CODEOPS", "1"
+    ) != "0":
+        code_ops = code_ops_block(spark, n_rows)
+    else:
+        code_ops = None
+
     result = {
         "metric": "full-ruleset validation wall over synthetic code table "
         f"({n_rows} rows, local[{cpus}])",
@@ -357,6 +409,8 @@ def main() -> None:
     }
     if crossover is not None:
         result["ivf_crossover"] = crossover
+    if code_ops is not None:
+        result["code_ops"] = code_ops
     if wall_small is not None and wall_4n is not None:
         thr_small = scaling_rows / wall_small
         thr_4n = scaling_rows / wall_4n

@@ -337,6 +337,137 @@ def test_embedding_near_dup_bucket_cap(spark):
     assert uncapped.count() == 60 * 59 // 2
 
 
+def test_token_frequencies_duckdb_parity(spark, docs):
+    """Unigram (n_occurrences, n_docs) per token must equal DuckDB's
+    unnest/groupBy over the same rows — both engines tokenize with the
+    identical \\s+ split."""
+    import duckdb
+
+    rows = [(r.doc_id, r.text) for r in docs.collect()]
+    got = {
+        r.ngram: (r.n_occurrences, r.n_docs)
+        for r in tx.token_frequencies(docs).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", rows)
+    expect = {
+        t: (int(o), int(dn))
+        for t, o, dn in con.execute(
+            """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                        string_split_regex(lower(trim(text)), '\\s+'),
+                        x -> len(x) > 0)) AS tok
+              FROM d WHERE text IS NOT NULL
+            )
+            SELECT tok, count(*), count(DISTINCT doc_id) FROM toks GROUP BY 1
+            """
+        ).fetchall()
+    }
+    assert got == expect
+
+
+def test_token_frequencies_bigrams_and_topk(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c a b"), (2, "a b x")], "doc_id int, text string"
+    )
+    bi = {
+        r.ngram: (r.n_occurrences, r.n_docs)
+        for r in tx.token_frequencies(df, n=2).collect()
+    }
+    assert bi == {
+        "a b": (3, 2),   # twice in doc1, once in doc2
+        "b c": (1, 1),
+        "c a": (1, 1),
+        "b x": (1, 1),
+    }
+    top = tx.token_frequencies(df, n=2, top_k=1).collect()
+    assert len(top) == 1 and top[0].ngram == "a b"
+    # regression: a doc with fewer tokens than n must contribute nothing,
+    # not crash (sequence(1, x<1) runs DESCENDING into slice(start=0))
+    short = spark.createDataFrame([(1, "solo"), (2, "a b c")],
+                                  "doc_id int, text string")
+    tri = {r.ngram for r in tx.token_frequencies(short, n=3).collect()}
+    assert tri == {"a b c"}
+
+
+def test_vocab_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "The the a"), (2, "a b"), (3, None), (4, "  ")],
+        "doc_id int, text string",
+    )
+    r = tx.vocab_stats(df).collect()[0]
+    assert r.total_tokens == 5 and r.vocab_size == 3  # {the, a, b}
+    assert r.approx_vocab_size == 3  # HLL exact at tiny cardinality
+
+
+def test_token_frequencies_aggregates_map_side(spark):
+    import contextlib
+    import io
+
+    df = spark.createDataFrame([(1, "x")], "doc_id int, text string")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        tx.token_frequencies(df).explain("formatted")
+    p = buf.getvalue()
+    assert "partial_count" in p, "map-side combine collapses each task's vocab"
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_contamination_matches(spark):
+    probe_text = "the quick brown fox jumps over the lazy dog tonight"
+    corpus = spark.createDataFrame(
+        [
+            (1, "PREFIX words here " + probe_text + " SUFFIX trailing text"),
+            (2, "the quick brown fox jumps over something else entirely today"
+                " and more filler"),
+            (3, "totally unrelated document about constraint validation"),
+        ],
+        "doc_id int, text string",
+    )
+    probes = spark.createDataFrame(
+        [(100, probe_text), (200, "way too short")],
+        "probe_id int, text string",
+    )
+    out = {
+        (r.doc_id, r.probe_id): r
+        for r in tx.contamination_matches(
+            corpus, probes, n=4, min_containment=0.0
+        ).collect()
+    }
+    # probe pasted verbatim ⇒ containment 1.0 despite surrounding text
+    hit = out[(1, 100)]
+    assert hit.containment == 1.0 and hit.n_shared == hit.probe_total == 7
+    # partial overlap: doc2 shares the leading 4-grams only
+    assert 0 < out[(2, 100)].containment < 0.5
+    assert (3, 100) not in out
+    # a probe shorter than n tokens yields no grams ⇒ never matches
+    assert not any(pid == 200 for _, pid in out)
+    # default threshold screens the partial
+    kept = tx.contamination_matches(corpus, probes, n=4).collect()
+    assert {(r.doc_id, r.probe_id) for r in kept} == {(1, 100)}
+
+
+def test_contamination_corpus_side_never_shuffles_prejoin(spark):
+    """The corpus explode must feed a BroadcastHashJoin — probes are the
+    small side; the corpus stream reaches the join without an Exchange."""
+    import contextlib
+    import io
+
+    from faang_pydantics_validation_spark.fixtures import values_df
+
+    corpus = values_df(spark, [("1", "a b c d e f g h")], "doc_id, text")
+    probes = values_df(spark, [("9", "a b c d e")], "probe_id, text")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        tx.contamination_matches(corpus, probes, n=4).explain("formatted")
+    p = buf.getvalue()
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
 def test_text_quality_and_langid(spark, docs):
     out = {r.doc_id: r for r in tx.quality_metrics(docs, "text").collect()}
     assert out[1].n_tokens == 9
