@@ -215,6 +215,147 @@ def cmd_run(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """Training-corpus curation over the code table: quality filter →
+    secret screen → license tag → exact dedup (→ optional MinHash
+    near-dup components), one audited output.
+
+    Plan shape: the quality/secret/license stages are row-local column
+    programs fused with the scan; exact dedup adds ONE exchange hashed
+    by the content sha256 (computed pre-exchange — the shuffle carries
+    64B digests + the audit columns, not re-derived payloads). The
+    whole annotated frame is written ONCE, partitioned by the final
+    keep verdict, so the kept corpus and the drop audit are partition
+    directories of the same write — no second pass over the input.
+    Near-dup (--neardup) adds the banded MinHash self-join + component
+    resolution from ops/dedup, applied to the exact-dedup survivors.
+    """
+    from pyspark.sql import SparkSession, Window
+    from pyspark.sql import functions as F
+
+    from faang_pydantics_validation_spark.ops import code as cd
+
+    owns_session = SparkSession.getActiveSession() is None
+    spark = _build_session(args)
+    spark.sparkContext.setLogLevel("WARN")
+    df = _load_input(spark, args)
+
+    t0 = time.monotonic()
+    rid = F.concat_ws("@", F.concat_ws(":", "repo", "path"), "commit")
+    ann = cd.code_quality_filter(df)
+    ann = cd.scan_secrets(ann)
+    ann = cd.detect_license(ann)
+    base_reasons = F.when(
+        F.col("has_secrets"),
+        F.array_append(F.col("code_drop_reasons"), F.lit("secrets")),
+    ).otherwise(F.col("code_drop_reasons"))
+    if args.require_permissive_license:
+        # unknown license (NULL) passes — unknown ≠ non-permissive;
+        # an identified restrictive license drops
+        base_reasons = F.when(
+            F.col("license_permissive") == False,  # noqa: E712 (three-valued)
+            F.array_append(base_reasons, F.lit("restrictive_license")),
+        ).otherwise(base_reasons)
+    staged = ann.select(
+        "repo", "path", "commit", "lang", "content", "license_id",
+        rid.alias("record_id"),
+        F.sha2(F.col("content"), 256).alias("content_sha"),
+        base_reasons.alias("__base_reasons"),
+    )
+    # exact dedup among the rows that survived the row-local stages:
+    # cumulative keep-count per sha (ordered by record_id) is 1 for the
+    # first surviving copy, >1 for later ones — dropped rows never
+    # shield a later duplicate. NULL-sha rows (required-null content)
+    # are already dropped row-locally and excluded from ranking.
+    base_keep = (F.size("__base_reasons") == 0).cast("int")
+    w = (
+        Window.partitionBy("content_sha")
+        .orderBy("record_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    curated = staged.withColumn(
+        "drop_reasons",
+        F.when(
+            (base_keep == 1) & (F.sum(base_keep).over(w) > 1),
+            F.array(F.lit("exact_dup")),
+        ).otherwise(F.col("__base_reasons")),
+    ).drop("__base_reasons")
+    curated = curated.withColumn("kept", F.size("drop_reasons") == 0)
+
+    if args.neardup:
+        from faang_pydantics_validation_spark.ops.dedup import (
+            duplicate_components,
+            minhash_candidates,
+        )
+
+        survivors = curated.filter("kept").select("record_id", "content")
+        pairs = minhash_candidates(
+            survivors.withColumnRenamed("record_id", "doc_id"),
+            "doc_id",
+            "content",
+        )
+        comps = duplicate_components(pairs).withColumnRenamed(
+            "doc_id", "record_id"
+        )
+        losers = comps.filter(F.col("record_id") != F.col("component_id"))
+        curated = (
+            curated.join(
+                losers.select("record_id", F.lit(True).alias("__nd")),
+                "record_id",
+                "left",
+            )
+            .withColumn(
+                "drop_reasons",
+                F.when(
+                    F.col("__nd").isNotNull() & F.col("kept"),
+                    F.array(F.lit("near_dup")),
+                ).otherwise(F.col("drop_reasons")),
+            )
+            .withColumn("kept", F.size("drop_reasons") == 0)
+            .drop("__nd")
+        )
+
+    # the partition column must be a STRING: parquet partition values
+    # round-trip as directory names, so a boolean would read back as the
+    # string "true"/"false" and break downstream filters
+    curated = curated.withColumn(
+        "status", F.when(F.col("kept"), "kept").otherwise("dropped")
+    )
+    (
+        curated.write.mode("overwrite")
+        .partitionBy("status")
+        .parquet(f"{args.output}/curated")
+    )
+
+    # counters from a column-pruned read-back of what was written —
+    # never a second pass over the input
+    out_df = spark.read.parquet(f"{args.output}/curated")
+    rows_in = out_df.count()
+    kept = out_df.filter(F.col("status") == "kept").count()
+    reason_counts = {
+        r.reason: r.n
+        for r in out_df.filter(F.col("status") == "dropped")
+        .select(F.explode("drop_reasons").alias("reason"))
+        .groupBy("reason")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    summary = {
+        "rows_in": rows_in,
+        "kept": kept,
+        "dropped": rows_in - kept,
+        "drop_reason_counts": reason_counts,
+        "wall_sec": round(time.monotonic() - t0, 2),
+    }
+    os.makedirs(args.output, exist_ok=True)
+    with open(f"{args.output}/summary.json", "w") as f:
+        json.dump(summary, f)
+    print(json.dumps(summary))
+    if owns_session:
+        spark.stop()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="fpvs")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -233,12 +374,28 @@ def main(argv=None) -> int:
     pr.add_argument("--n-checkpoint-partitions", type=int, default=64)
     pr.add_argument("--cores", type=int, default=None)
 
+    pc = sub.add_parser(
+        "curate", help="quality/secret/license/dedup corpus curation"
+    )
+    pc.add_argument("--input", help="input table path")
+    pc.add_argument("--format", default="parquet", choices=["parquet", "iceberg"])
+    pc.add_argument("--synthetic", type=int, default=0,
+                    help="generate N synthetic rows")
+    pc.add_argument("--output", required=True)
+    pc.add_argument("--neardup", action="store_true",
+                    help="also drop MinHash near-dup components")
+    pc.add_argument("--require-permissive-license", action="store_true",
+                    help="drop files with an identified non-permissive license")
+    pc.add_argument("--cores", type=int, default=None)
+
     args = p.parse_args(argv)
     if args.cmd == "package":
         print(make_pyfiles_zip(args.out))
         return 0
-    if args.cmd == "run" and not (args.input or args.synthetic):
-        p.error("run needs --input or --synthetic")
+    if args.cmd in ("run", "curate") and not (args.input or args.synthetic):
+        p.error(f"{args.cmd} needs --input or --synthetic")
+    if args.cmd == "curate":
+        return cmd_curate(args)
     return cmd_run(args)
 
 

@@ -36,6 +36,86 @@ def test_cli_run_synthetic(tmp_path, spark):
     assert os.path.exists(f"{out_dir}/violations")
 
 
+def test_cli_curate_synthetic(tmp_path, spark):
+    """Counters reconcile, the kept corpus has no exact-dup contents and
+    no secret/quality violators, and the audit partition carries the
+    per-row reasons."""
+    from pyspark.sql import functions as F
+
+    out_dir = str(tmp_path / "cur")
+    rc = main(
+        ["curate", "--synthetic", "3000", "--output", out_dir, "--cores", "4"]
+    )
+    assert rc == 0
+    summary = json.load(open(f"{out_dir}/summary.json"))
+    assert summary["rows_in"] == 3000
+    assert summary["kept"] + summary["dropped"] == 3000
+    assert summary["kept"] > 0 and summary["dropped"] > 0
+    # the synthetic table injects exact duplicate (kid) contents at
+    # id%50==49 — some survive quality and must be deduped
+    assert summary["drop_reason_counts"].get("exact_dup", 0) > 0
+    cur = spark.read.parquet(f"{out_dir}/curated")
+    kept = cur.filter("kept")
+    assert kept.count() == summary["kept"]
+    # kept corpus: content sha unique, zero drop reasons
+    dup = (
+        kept.groupBy("content_sha").count().filter(F.col("count") > 1).count()
+    )
+    assert dup == 0
+    assert kept.filter(F.size("drop_reasons") > 0).count() == 0
+    # every dropped row carries at least one reason
+    assert cur.filter(~F.col("kept") & (F.size("drop_reasons") == 0)).count() == 0
+
+
+def test_cli_curate_neardup_and_license_flags(tmp_path, spark):
+    """--neardup resolves MinHash components among survivors; the
+    restrictive-license flag drops identified non-permissive files
+    while unknown-license files pass."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "src")
+    # long shared body so each one-token variant keeps Jaccard ~0.99 and
+    # the banded MinHash collision probability is ~1 (short docs would
+    # make the 8-file family's capture probabilistic)
+    base_text = "".join(
+        f"def shared_fn_{j}(alpha_{j}, beta_{j}):\n"
+        f"    gamma_{j} = alpha_{j} + beta_{j} * {j}\n"
+        f"    return gamma_{j} - {j}\n"
+        for j in range(12)
+    )
+    rows = []
+    for i in range(8):
+        # near-dup family: same long body, one token differs per file
+        rows.append(
+            (f"org/a", f"src/f_{i}.py", f"{'c'*39}{i}", "python",
+             base_text + f"# variant {i}\n")
+        )
+    rows.append(("org/b", "src/gpl.py", "d" * 40, "python",
+                 "# under the terms of the GNU General Public License\n"
+                 + base_text.replace("shared_function", "totally_other_name")))
+    rows.append(("org/b", "src/clean.py", "e" * 40, "python",
+                 "def unrelated(x):\n    return x - 99\n"))
+    spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    ).write.mode("overwrite").parquet(src)
+
+    out_dir = str(tmp_path / "cur2")
+    rc = main(
+        ["curate", "--input", src, "--output", out_dir,
+         "--neardup", "--require-permissive-license", "--cores", "4"]
+    )
+    assert rc == 0
+    summary = json.load(open(f"{out_dir}/summary.json"))
+    counts = summary["drop_reason_counts"]
+    assert counts.get("near_dup", 0) == 7, counts  # 8-file family → 1 survivor
+    assert counts.get("restrictive_license", 0) == 1, counts
+    cur = spark.read.parquet(f"{out_dir}/curated")
+    kept_paths = {r.path for r in cur.filter("kept").collect()}
+    assert "src/f_0.py" in kept_paths          # min record_id survives
+    assert "src/clean.py" in kept_paths        # unknown license passes
+    assert "src/gpl.py" not in kept_paths
+
+
 def test_cli_checkpoint_sparse_input_empty_groups(tmp_path, spark):
     """1 row into 64 hash slots: the single synthetic row lands in slot
     50 (deterministic), so the first six groups write NOTHING — the
