@@ -246,6 +246,15 @@ def code_ops_block(spark, n_rows: int) -> dict:
     t0 = time.monotonic()
     tx.vocab_stats(sub, "content").collect()
     out["vocab_stats_sec"] = round(time.monotonic() - t0, 3)
+
+    # Gopher repetition screens: row-local sorted-run folds (11 arrays
+    # per row) — heavier per row than the scan-fused filters, so run on
+    # the same subsample as winnowing/vocab for a comparable wall.
+    t0 = time.monotonic()
+    tx.repetition_filter(sub, "content").agg(
+        F.sum(F.col("rep_keep").cast("int"))
+    ).collect()
+    out["repetition_filter_sec"] = round(time.monotonic() - t0, 3)
     return out
 
 

@@ -229,11 +229,15 @@ def cmd_curate(args) -> int:
     directories of the same write — no second pass over the input.
     Near-dup (--neardup) adds the banded MinHash self-join + component
     resolution from ops/dedup, applied to the exact-dedup survivors.
+    --repetition adds the Gopher-style repetitious-text screen
+    (ops/text.repetition_filter) — still row-local, still fused into
+    the same single pass as the other quality stages.
     """
     from pyspark.sql import SparkSession, Window
     from pyspark.sql import functions as F
 
     from faang_pydantics_validation_spark.ops import code as cd
+    from faang_pydantics_validation_spark.ops import text as tx
 
     owns_session = SparkSession.getActiveSession() is None
     spark = _build_session(args)
@@ -245,10 +249,14 @@ def cmd_curate(args) -> int:
     ann = cd.code_quality_filter(df)
     ann = cd.scan_secrets(ann)
     ann = cd.detect_license(ann)
+    if args.repetition:
+        ann = tx.repetition_filter(ann, "content")
     base_reasons = F.when(
         F.col("has_secrets"),
         F.array_append(F.col("code_drop_reasons"), F.lit("secrets")),
     ).otherwise(F.col("code_drop_reasons"))
+    if args.repetition:
+        base_reasons = F.concat(base_reasons, F.col("rep_drop_reasons"))
     if args.require_permissive_license:
         # unknown license (NULL) passes — unknown ≠ non-permissive;
         # an identified restrictive license drops
@@ -382,6 +390,11 @@ def main(argv=None) -> int:
     pc.add_argument("--synthetic", type=int, default=0,
                     help="generate N synthetic rows")
     pc.add_argument("--output", required=True)
+    pc.add_argument(
+        "--repetition",
+        action="store_true",
+        help="also drop repetitious docs (Gopher dup-line/para/n-gram screens)",
+    )
     pc.add_argument("--neardup", action="store_true",
                     help="also drop MinHash near-dup components")
     pc.add_argument("--require-permissive-license", action="store_true",

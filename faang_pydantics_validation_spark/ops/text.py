@@ -251,16 +251,12 @@ def token_frequencies(
     return out
 
 
-def _word_ngrams(text: Column, n: int) -> Column:
-    """Lowercased word n-grams as strings (empty array when the text has
-    fewer than n tokens). The short-text branch must be an explicit
-    ``when``: ``sequence(1, x)`` runs DESCENDING for x < 1 (yielding
-    index 0, which ``slice`` rejects at runtime), so clamping the upper
-    bound alone is not a guard."""
-    toks = F.filter(
-        F.split(F.trim(F.lower(F.coalesce(text, F.lit("")))), r"\s+"),
-        lambda t: F.length(t) > 0,
-    )
+def _ngrams_from_tokens(toks: Column, n: int) -> Column:
+    """Word n-grams (space-joined strings) from an ALREADY-tokenized
+    array column; empty array when fewer than n tokens. The short-text
+    branch must be an explicit ``when``: ``sequence(1, x)`` runs
+    DESCENDING for x < 1 (yielding index 0, which ``slice`` rejects at
+    runtime), so clamping the upper bound alone is not a guard."""
     if n == 1:
         return toks
     return F.when(
@@ -270,6 +266,16 @@ def _word_ngrams(text: Column, n: int) -> Column:
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def _word_ngrams(text: Column, n: int) -> Column:
+    """Lowercased word n-grams as strings (empty array when the text has
+    fewer than n tokens)."""
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.coalesce(text, F.lit("")))), r"\s+"),
+        lambda t: F.length(t) > 0,
+    )
+    return _ngrams_from_tokens(toks, n)
 
 
 def contamination_matches(
@@ -429,4 +435,188 @@ def redact_pii(
         out.withColumn("redaction_counts", counts)
         .withColumnRenamed("__red", "text_redacted")
         .drop(*[f"__cnt_{k}" for k in pats])
+    )
+
+
+def _run_stats(sorted_arr: Column) -> Column:
+    """ONE linear fold over a SORTED string array yielding
+    ``struct(extra_cnt, dup_chars, best_chars)``:
+
+    * ``extra_cnt``  — occurrences beyond the first of each distinct
+      value (so ``extra_cnt / size`` is the classic
+      ``1 - distinct/total`` duplicate fraction);
+    * ``dup_chars``  — characters in ALL occurrences of values that
+      appear more than once (the first occurrence is added retroactively
+      when its duplicate arrives — Gopher's "characters contained in
+      duplicate lines/n-grams" counting);
+    * ``best_chars`` — ``count * length`` of the most frequent value
+      that occurs AT LEAST TWICE (the "top n-gram" character mass; a
+      single occurrence is not repetition — Gopher's published counting
+      doesn't gate this because web-length documents make the
+      distinction vanish, but at short lengths an ungated version fires
+      on any 26-char 4-gram in a 160-char doc).
+
+    Equal values are adjacent after ``array_sort``, so one
+    ``aggregate`` pass with a (prev, run, ...) accumulator computes all
+    three — codegen'd, row-local, zero shuffle. NULL-safe: the initial
+    ``prev`` is NULL, which never equals a real element (``eqNullSafe``),
+    and empty strings are ordinary values.
+    """
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("bigint").alias("run"),
+        F.lit(0).cast("bigint").alias("extra_cnt"),
+        F.lit(0).cast("bigint").alias("dup_chars"),
+        F.lit(0).cast("bigint").alias("best_chars"),
+    )
+
+    def merge(acc: Column, x: Column) -> Column:
+        is_dup = x.eqNullSafe(acc["prev"])
+        run = F.when(is_dup, acc["run"] + 1).otherwise(F.lit(1).cast("bigint"))
+        xlen = F.length(x).cast("bigint")
+        add = F.when(
+            is_dup,
+            # second occurrence pays for the first retroactively
+            F.when(acc["run"] == 1, xlen * 2).otherwise(xlen),
+        ).otherwise(F.lit(0).cast("bigint"))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            (
+                acc["extra_cnt"] + F.when(is_dup, 1).otherwise(0).cast("bigint")
+            ).alias("extra_cnt"),
+            (acc["dup_chars"] + add).alias("dup_chars"),
+            F.greatest(
+                acc["best_chars"],
+                F.when(run >= 2, run * xlen).otherwise(F.lit(0).cast("bigint")),
+            ).alias("best_chars"),
+        )
+
+    return F.aggregate(
+        sorted_arr,
+        init,
+        merge,
+        lambda acc: F.struct(
+            acc["extra_cnt"].alias("extra_cnt"),
+            acc["dup_chars"].alias("dup_chars"),
+            acc["best_chars"].alias("best_chars"),
+        ),
+    )
+
+
+def repetition_metrics(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    top_ngram_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ngram_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """Per-document repetition signals in the style of Gopher's
+    repetitious-text filters (Rae et al. 2021, table A1 — public):
+
+    * ``rep_dup_line_frac`` / ``rep_dup_para_frac`` — fraction of
+      lines / paragraphs that duplicate an earlier one
+      (``1 - distinct/total``);
+    * ``rep_dup_line_char_frac`` / ``rep_dup_para_char_frac`` —
+      fraction of document characters inside duplicated lines /
+      paragraphs (all occurrences);
+    * ``rep_top_{n}gram_char_frac`` (n in ``top_ngram_ns``) — character
+      mass of the single most frequent word n-gram over document length;
+    * ``rep_dup_{n}gram_char_frac`` (n in ``dup_ngram_ns``) — character
+      mass of all occurrences of word n-grams appearing more than once.
+
+    Character fractions use ``length(text)`` as the denominator and the
+    space-joined n-gram length as the numerator mass — a documented
+    approximation of "characters contained in the occurrences" that
+    avoids overlap bookkeeping while preserving the signal's ordering.
+
+    Everything is a row-local ``array_sort`` + ONE :func:`_run_stats`
+    fold per granularity (lines, paragraphs, one per n) over a single
+    staged token array — codegen'd JVM expressions, zero shuffle, zero
+    Python, so the op fuses with the scan and scales linearly: at 100 TB
+    it is embarrassingly parallel with no state beyond one row. NULL
+    text yields all-zero metrics.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    staged = df.withColumns(
+        {
+            "__rep_text": text,
+            "__rep_toks": F.filter(
+                F.split(F.trim(F.lower(text)), r"\s+"),
+                lambda t: F.length(t) > 0,
+            ),
+            "__rep_lines": F.split(text, r"\n"),
+            "__rep_paras": F.filter(
+                F.split(text, r"\n{2,}"),
+                lambda p: F.length(F.trim(p)) > 0,
+            ),
+        }
+    )
+    n_chars = F.greatest(F.length(F.col("__rep_text")), F.lit(1)).cast("double")
+
+    def frac(num: Column, den: Column) -> Column:
+        return F.round(num.cast("double") / den, 9)
+
+    cols: dict[str, Column] = {}
+    for name, arr in (("line", F.col("__rep_lines")), ("para", F.col("__rep_paras"))):
+        st = _run_stats(F.array_sort(arr))
+        n = F.greatest(F.size(arr), F.lit(1)).cast("double")
+        cols[f"rep_dup_{name}_frac"] = frac(st["extra_cnt"], n)
+        cols[f"rep_dup_{name}_char_frac"] = frac(st["dup_chars"], n_chars)
+    for n in top_ngram_ns:
+        st = _run_stats(F.array_sort(_ngrams_from_tokens(F.col("__rep_toks"), n)))
+        cols[f"rep_top_{n}gram_char_frac"] = frac(st["best_chars"], n_chars)
+    for n in dup_ngram_ns:
+        st = _run_stats(F.array_sort(_ngrams_from_tokens(F.col("__rep_toks"), n)))
+        cols[f"rep_dup_{n}gram_char_frac"] = frac(st["dup_chars"], n_chars)
+    return staged.withColumns(cols).drop(
+        "__rep_text", "__rep_toks", "__rep_lines", "__rep_paras"
+    )
+
+
+#: Gopher table-A1 repetition thresholds (public): metric column →
+#: maximum allowed value; a document exceeding ANY threshold is dropped.
+REPETITION_THRESHOLDS: dict[str, float] = {
+    "rep_dup_line_frac": 0.30,
+    "rep_dup_para_frac": 0.30,
+    "rep_dup_line_char_frac": 0.20,
+    "rep_dup_para_char_frac": 0.20,
+    "rep_top_2gram_char_frac": 0.20,
+    "rep_top_3gram_char_frac": 0.18,
+    "rep_top_4gram_char_frac": 0.16,
+    "rep_dup_5gram_char_frac": 0.15,
+    "rep_dup_6gram_char_frac": 0.14,
+    "rep_dup_7gram_char_frac": 0.13,
+    "rep_dup_8gram_char_frac": 0.12,
+    "rep_dup_9gram_char_frac": 0.11,
+    "rep_dup_10gram_char_frac": 0.10,
+}
+
+
+def repetition_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    thresholds: dict[str, float] | None = None,
+) -> DataFrame:
+    """Keep/drop verdict over :func:`repetition_metrics`, mirroring
+    :func:`quality_filter`'s auditable contract: appends every metric
+    column plus
+
+    * ``rep_drop_reasons`` — array<string> of each metric whose value
+      exceeds its threshold (empty ⇒ keep);
+    * ``rep_keep`` — boolean, true iff no threshold fired.
+
+    Defaults are :data:`REPETITION_THRESHOLDS` (Gopher A1). Same
+    scale story as the metrics: scan-fused, shuffle-free, Python-free.
+    """
+    th = REPETITION_THRESHOLDS if thresholds is None else thresholds
+    out = repetition_metrics(df, text_col)
+    reasons = F.filter(
+        F.array(
+            *[F.when(F.col(m) > F.lit(v), F.lit(m)) for m, v in th.items()]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return out.withColumn("rep_drop_reasons", reasons).withColumn(
+        "rep_keep", F.size("rep_drop_reasons") == 0
     )

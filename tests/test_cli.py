@@ -174,3 +174,42 @@ def test_cli_checkpointed_run_and_resume(tmp_path, spark):
     assert summary2["rows"] == 2000
     n = spark.read.parquet(f"{out_dir}/verdicts").count()
     assert n == 2000
+
+
+def test_cli_curate_repetition_flag(tmp_path, spark):
+    """--repetition drops repetitious docs (Gopher screens) with the
+    metric name as the audit reason; without the flag the same doc is
+    kept — the screen is opt-in."""
+    src = str(tmp_path / "src_rep")
+    clean_text = "".join(
+        f"def fn_{j}(alpha_{j}, beta_{j}):\n"
+        f"    gamma_{j} = alpha_{j} + beta_{j} * {j}\n"
+        f"    return gamma_{j} - {j}\n"
+        for j in range(12)
+    )
+    rows = [
+        ("org/a", "src/clean.py", "a" * 40, "python", clean_text),
+        ("org/a", "src/spam.py", "b" * 40, "python",
+         "state = state + delta_step\n" * 80),
+    ]
+    spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    ).write.mode("overwrite").parquet(src)
+
+    out_rep = str(tmp_path / "cur_rep")
+    rc = main(["curate", "--input", src, "--output", out_rep,
+               "--repetition", "--cores", "4"])
+    assert rc == 0
+    summary = json.load(open(f"{out_rep}/summary.json"))
+    assert summary["drop_reason_counts"].get("rep_dup_line_frac", 0) == 1, summary
+    cur = spark.read.parquet(f"{out_rep}/curated")
+    kept_paths = {r.path for r in cur.filter("kept").collect()}
+    assert "src/clean.py" in kept_paths
+    assert "src/spam.py" not in kept_paths
+
+    out_plain = str(tmp_path / "cur_plain")
+    rc = main(["curate", "--input", src, "--output", out_plain, "--cores", "4"])
+    assert rc == 0
+    cur2 = spark.read.parquet(f"{out_plain}/curated")
+    kept2 = {r.path for r in cur2.filter("kept").collect()}
+    assert "src/spam.py" in kept2

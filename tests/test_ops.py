@@ -792,3 +792,116 @@ def test_redact_pii_plan_is_scan_local(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id int, text string")
     plan = tx.redact_pii(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+# ---------------------------------------------------------------- repetition
+
+
+def _py_repetition(text: str | None) -> dict[str, float]:
+    """Independent pure-Python mirror of ops.text.repetition_metrics
+    (Counter-based, no sorted-run fold) for cross-checking."""
+    import collections
+    import re as _re
+
+    text = text or ""
+    n_chars = max(len(text), 1)
+
+    def run_stats(values):
+        c = collections.Counter(values)
+        extra = sum(v - 1 for v in c.values())
+        dup_chars = sum(len(k) * v for k, v in c.items() if v > 1)
+        best = max((len(k) * v for k, v in c.items() if v > 1), default=0)
+        return extra, dup_chars, best
+
+    out: dict[str, float] = {}
+    lines = text.split("\n")
+    paras = [p for p in _re.split(r"\n{2,}", text) if p.strip()]
+    for name, arr in (("line", lines), ("para", paras)):
+        extra, dup_chars, _ = run_stats(arr)
+        out[f"rep_dup_{name}_frac"] = extra / max(len(arr), 1)
+        out[f"rep_dup_{name}_char_frac"] = dup_chars / n_chars
+    toks = [t for t in _re.split(r"[ \t\n\x0b\f\r]+", text.strip().lower()) if t]
+
+    def ngrams(n):
+        if len(toks) < n:
+            return []
+        return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+    for n in (2, 3, 4):
+        _, _, best = run_stats(ngrams(n))
+        out[f"rep_top_{n}gram_char_frac"] = best / n_chars
+    for n in range(5, 11):
+        _, dup_chars, _ = run_stats(ngrams(n))
+        out[f"rep_dup_{n}gram_char_frac"] = dup_chars / n_chars
+    return out
+
+
+REP_DOCS = [
+    # all-distinct words: no n-gram repeats, so every repetition rule
+    # stays quiet (a SHORT doc fires top-2gram spuriously: one 10-char
+    # bigram over 44 chars is already 0.23 — Gopher's thresholds assume
+    # web-document lengths)
+    (
+        1,
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango "
+        "uniform victor whiskey xray yankee zulu",
+    ),
+    (2, "spam line\nspam line\nspam line\nother line"),
+    (3, "buy now " * 50),
+    (4, "para one\n\npara one\n\npara two"),
+    (5, ""),
+    (6, None),
+    (7, "one two three four five one two three four five six seven"),
+    (8, "x\n\n\ny\n\ny\nz"),  # 3+ newline para split, inline dup line
+]
+
+
+def test_repetition_metrics_matches_python_mirror(spark):
+    df = spark.createDataFrame(REP_DOCS, "doc_id long, text string")
+    rows = {r["doc_id"]: r.asDict() for r in tx.repetition_metrics(df).collect()}
+    for doc_id, text in REP_DOCS:
+        expect = _py_repetition(text)
+        got = rows[doc_id]
+        for metric, val in expect.items():
+            assert got[metric] == pytest.approx(val, abs=1e-9), (doc_id, metric)
+
+
+def test_repetition_metrics_known_values(spark):
+    df = spark.createDataFrame(REP_DOCS, "doc_id long, text string")
+    rows = {r["doc_id"]: r.asDict() for r in tx.repetition_metrics(df).collect()}
+    # doc 2: 4 lines, "spam line" x3 => 2 extra dups of 4 lines
+    assert rows[2]["rep_dup_line_frac"] == pytest.approx(0.5)
+    # chars in all 3 dup occurrences = 27 of 40 total chars
+    assert rows[2]["rep_dup_line_char_frac"] == pytest.approx(27 / 40)
+    # doc 4: "para one" duplicated (2 of 3 paragraphs)
+    assert rows[4]["rep_dup_para_frac"] == pytest.approx(1 / 3)
+    # doc 3: one long repeated phrase => top 2-gram mass ~ whole doc
+    assert rows[3]["rep_top_2gram_char_frac"] > 0.8
+    assert rows[3]["rep_dup_5gram_char_frac"] > 0.8
+    # empty + NULL: all metrics exactly zero
+    for doc_id in (5, 6):
+        assert all(
+            v == 0.0 for k, v in rows[doc_id].items() if k.startswith("rep_")
+        ), rows[doc_id]
+
+
+def test_repetition_filter_verdicts(spark):
+    df = spark.createDataFrame(REP_DOCS, "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in tx.repetition_filter(df).collect()}
+    assert rows[1]["rep_keep"] and rows[1]["rep_drop_reasons"] == []
+    assert not rows[3]["rep_keep"]
+    reasons = set(rows[3]["rep_drop_reasons"])
+    assert "rep_top_2gram_char_frac" in reasons
+    assert "rep_dup_5gram_char_frac" in reasons
+    assert not rows[2]["rep_keep"]  # 0.5 dup-line frac > 0.30
+    assert "rep_dup_line_frac" in rows[2]["rep_drop_reasons"]
+    assert rows[5]["rep_keep"] and rows[6]["rep_keep"]
+
+
+def test_repetition_plan_is_scan_local(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id int, text string")
+    plan = (
+        tx.repetition_filter(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan
