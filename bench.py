@@ -255,6 +255,17 @@ def code_ops_block(spark, n_rows: int) -> dict:
         F.sum(F.col("rep_keep").cast("int"))
     ).collect()
     out["repetition_filter_sec"] = round(time.monotonic() - t0, 3)
+
+    # unigram LM quality score: vocab build (explode → one agg →
+    # TakeOrdered) then scoring (explode → broadcast join → one
+    # per-doc exchange) — the CCNet-style perplexity-proxy pass.
+    t0 = time.monotonic()
+    vocab = tx.unigram_vocab(sub, "content", top_k=50_000)
+    tx.unigram_logprob_score(sub.withColumn("doc_id", F.col("path")), vocab,
+                             "content", "doc_id").agg(
+        F.avg("lm_logprob")
+    ).collect()
+    out["unigram_lm_score_sec"] = round(time.monotonic() - t0, 3)
     return out
 
 

@@ -620,3 +620,114 @@ def repetition_filter(
     return out.withColumn("rep_drop_reasons", reasons).withColumn(
         "rep_keep", F.size("rep_drop_reasons") == 0
     )
+
+
+def unigram_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    top_k: int | None = 50_000,
+    min_count: int = 1,
+) -> DataFrame:
+    """Unigram language-model table ``(token, n_occurrences, logprob)``
+    learned from a corpus: ``logprob = ln(count / total)`` over
+    whitespace tokens (lowercased). ``top_k``/``min_count`` bound the
+    vocabulary so the result is broadcast-sized by construction —
+    CCNet-style LM filtering keeps the model tiny and ships it to the
+    data, never the reverse.
+
+    One explode → ONE partial+final agg on the token (map-side combine
+    collapses each task's token stream to its local vocabulary before
+    the exchange — see :func:`token_frequencies`; document frequencies
+    are deliberately NOT computed here, skipping that function's second
+    explode and its ngram join) plus a single-row total joined back by
+    cross-join — no second scan of the corpus.
+    """
+    freqs = (
+        df.select(F.explode(_word_ngrams(F.col(text_col), 1)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= min_count)
+    )
+    if top_k is not None:
+        freqs = freqs.orderBy(F.desc("n_occurrences"), "ngram").limit(top_k)
+    # total over ALL tokens (not just kept vocab) would need a second
+    # corpus pass; normalizing over the kept vocabulary is the standard
+    # truncated-unigram approximation and keeps probabilities summing
+    # to 1 over the table itself.
+    total = freqs.agg(F.sum("n_occurrences").alias("__total"))
+    return (
+        freqs.crossJoin(F.broadcast(total))
+        .withColumn(
+            "logprob",
+            F.log(F.col("n_occurrences").cast("double") / F.col("__total")),
+        )
+        .select("ngram", "n_occurrences", "logprob")
+        .withColumnRenamed("ngram", "token")
+    )
+
+
+def unigram_logprob_score(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    oov_logprob: float = -20.0,
+) -> DataFrame:
+    """Per-document mean unigram log-probability — the public
+    approximation of CCNet's KenLM perplexity quality signal (docs with
+    very low mean logprob are gibberish/boilerplate; very high means
+    repetitive common-token spam). Returns a SCORE table, one row per
+    input document:
+
+    ``(id_col, n_tokens, oov_frac, lm_logprob)``
+
+    where ``lm_logprob`` is the mean over tokens of the vocab logprob
+    (``oov_logprob`` for out-of-vocabulary tokens) and ``oov_frac`` the
+    OOV token fraction. Empty/NULL docs score ``n_tokens=0`` with NULL
+    ``lm_logprob``.
+
+    Scale shape: ``explode_outer`` tokens (empty/NULL docs keep one
+    NULL-token row, so no ids-restore join is needed) → BROADCAST hash
+    join against the (bounded, see :func:`unigram_vocab`) vocabulary →
+    groupBy(id). The join adds no exchange; the groupBy's map-side
+    partial aggregation collapses each doc's token stream to one
+    partial row BEFORE the exchange (a doc's tokens are partition-local
+    after explode), so the shuffle carries one small row per document —
+    never the token stream. ONE Exchange, zero sort-merge joins
+    (plan-asserted). Returning a score table instead of appending a
+    column avoids re-shuffling the payload; callers join on ``id_col``
+    if they need the text alongside.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.filter(
+                F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"),
+                lambda t: F.length(t) > 0,
+            )
+        ).alias("token"),
+    )
+    joined = toks.join(F.broadcast(vocab.select("token", "logprob")), "token", "left")
+    real = F.col("token").isNotNull()
+    n_tokens = F.sum(real.cast("bigint"))
+    oov_cnt = F.sum((real & F.col("logprob").isNull()).cast("bigint"))
+    lp_sum = F.sum(
+        F.when(real, F.coalesce(F.col("logprob"), F.lit(oov_logprob)))
+    )
+    return joined.groupBy(id_col).agg(
+        n_tokens.alias("n_tokens"),
+        F.round(
+            F.when(n_tokens == 0, F.lit(0.0)).otherwise(
+                oov_cnt.cast("double") / n_tokens
+            ),
+            9,
+        ).alias("oov_frac"),
+        F.round(
+            F.when(n_tokens == 0, F.lit(None).cast("double")).otherwise(
+                lp_sum / n_tokens
+            ),
+            9,
+        ).alias("lm_logprob"),
+    )

@@ -905,3 +905,109 @@ def test_repetition_plan_is_scan_local(spark):
         tx.repetition_filter(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "Python" not in plan
+
+
+# ---------------------------------------------------------------- unigram LM
+
+
+def test_unigram_vocab_logprobs(spark):
+    df = spark.createDataFrame(
+        [(1, "aa aa bb"), (2, "aa cc")], "doc_id long, text string"
+    )
+    import math
+
+    vocab = {r.token: (r.n_occurrences, r.logprob)
+             for r in tx.unigram_vocab(df).collect()}
+    assert vocab["aa"][0] == 3 and vocab["bb"][0] == 1 and vocab["cc"][0] == 1
+    assert vocab["aa"][1] == pytest.approx(math.log(3 / 5))
+    assert vocab["bb"][1] == pytest.approx(math.log(1 / 5))
+
+
+def test_unigram_logprob_score_values_and_oov(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "aa aa bb"), (2, "aa cc"), (3, "aa zz"), (4, ""), (5, None)],
+        "doc_id long, text string",
+    )
+    vocab = tx.unigram_vocab(df)
+    rows = {r.doc_id: r for r in tx.unigram_logprob_score(df, vocab).collect()}
+    lp = lambda c: math.log(c / 7)  # 7 total tokens in corpus
+    assert rows[1].n_tokens == 3 and rows[1].oov_frac == 0.0
+    assert rows[1].lm_logprob == pytest.approx(
+        (2 * lp(4) + lp(1)) / 3, abs=1e-8
+    )
+    # zz appears once in the corpus so it IS in-vocab here; drop it from
+    # the vocab to exercise the OOV path
+    pruned = vocab.filter("token <> 'zz'")
+    rows = {r.doc_id: r for r in tx.unigram_logprob_score(df, pruned).collect()}
+    assert rows[3].oov_frac == pytest.approx(0.5)
+    assert rows[3].lm_logprob == pytest.approx((lp(4) - 20.0) / 2, abs=1e-8)
+    for empty_id in (4, 5):
+        assert rows[empty_id].n_tokens == 0
+        assert rows[empty_id].oov_frac == 0.0
+        assert rows[empty_id].lm_logprob is None
+
+
+def test_unigram_score_matches_duckdb(spark):
+    """Full vocab+score pipeline against a DuckDB twin (unnest + join +
+    avg) on a corpus with repeats, OOV after pruning, and empties."""
+    import duckdb
+
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog ran"),
+        (3, "purple elephants compute quietly"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    vocab = tx.unigram_vocab(df, top_k=5)  # prune to force OOV tokens
+    got = {
+        r.doc_id: (r.n_tokens, r.oov_frac, r.lm_logprob)
+        for r in tx.unigram_logprob_score(df, vocab).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", docs)
+    duck = con.execute("""
+        WITH toks AS (
+          SELECT doc_id, unnest(list_filter(
+            string_split_regex(trim(lower(coalesce(text,''))), '[ \t\n\x0B\f\r]+'),
+            t -> len(t) > 0)) AS token
+          FROM docs
+        ), freqs AS (
+          SELECT token, count(*) AS n FROM toks GROUP BY token
+          ORDER BY n DESC, token LIMIT 5
+        ), vocab AS (
+          SELECT token, ln(n / (SELECT sum(n) FROM freqs)) AS logprob FROM freqs
+        ), scored AS (
+          SELECT t.doc_id, count(*) AS n_tokens,
+                 avg(CASE WHEN v.logprob IS NULL THEN 1.0 ELSE 0.0 END) AS oov,
+                 avg(coalesce(v.logprob, -20.0)) AS lp
+          FROM toks t LEFT JOIN vocab v USING (token) GROUP BY t.doc_id
+        )
+        SELECT d.doc_id, coalesce(s.n_tokens, 0), coalesce(s.oov, 0.0), s.lp
+        FROM (SELECT DISTINCT doc_id FROM docs) d
+        LEFT JOIN scored s USING (doc_id)
+    """).fetchall()
+    for doc_id, n_tok, oov, lp_ in duck:
+        g = got[doc_id]
+        assert g[0] == n_tok, doc_id
+        assert g[1] == pytest.approx(oov, abs=1e-9), doc_id
+        if lp_ is None:
+            assert g[2] is None
+        else:
+            assert g[2] == pytest.approx(lp_, abs=1e-8), doc_id
+
+
+def test_unigram_score_plan_broadcasts_vocab(spark):
+    df = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
+    vocab = tx.unigram_vocab(df)
+    plan = (
+        tx.unigram_logprob_score(df, vocab)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
