@@ -266,6 +266,21 @@ def code_ops_block(spark, n_rows: int) -> dict:
         F.avg("lm_logprob")
     ).collect()
     out["unigram_lm_score_sec"] = round(time.monotonic() - t0, 3)
+
+    # sequence packing: concat-and-chunk into 2048-token sequences over
+    # 32 salted streams — ONE exchange (window + reassembly share the
+    # group distribution); efficiency printed by packing_stats.
+    from faang_pydantics_validation_spark.ops import pack as pkm
+
+    t0 = time.monotonic()
+    packed = pkm.pack_sequences(
+        sub.withColumn("doc_id", F.col("path")),
+        "doc_id", "content", seq_len=2048, n_groups=32,
+    )
+    stats = pkm.packing_stats(packed, 2048).collect()[0]
+    out["pack_sequences_sec"] = round(time.monotonic() - t0, 3)
+    out["pack_sequences_n"] = int(stats.n_sequences)
+    out["pack_efficiency"] = float(stats.packing_efficiency)
     return out
 
 
