@@ -143,3 +143,103 @@ def sample_n_per_stratum(
         .filter(F.col("__rk") <= n)
         .drop("__u", "__rk", "__stratum", "__stratum_n")
     )
+
+
+def mixture_plan(
+    counts: dict[str, int],
+    weights: dict[str, float],
+    total: int | None = None,
+    *,
+    max_epochs: int = 1,
+) -> dict[str, float]:
+    """Pure arithmetic: per-source sampling RATE (may exceed 1.0 =
+    upsampling epochs) that realizes a target mixture.
+
+    ``weights`` are the desired output PROPORTIONS (normalized here);
+    ``counts`` the available rows per source. With ``total=None`` the
+    plan maximizes output size without exceeding ``max_epochs`` passes
+    over any source: total = min over s of count_s * max_epochs / w_s.
+    With an explicit ``total``, rates are w_s * total / count_s, capped
+    at ``max_epochs`` (a capped source falls short of its target and
+    the realized mixture shifts — callers detect it by rate ==
+    max_epochs).
+
+    Driver-side math over one row per source — the DataFrame side
+    (:func:`mixture_sample`) stays a row-local filter.
+    """
+    if max_epochs < 1:
+        raise ValueError(f"max_epochs must be >= 1, got {max_epochs}")
+    missing = set(weights) - set(counts)
+    if missing:
+        raise ValueError(f"weights name sources absent from counts: {missing}")
+    wsum = float(sum(weights.values()))
+    if wsum <= 0:
+        raise ValueError("weights must sum to a positive value")
+    norm = {s: w / wsum for s, w in weights.items() if w > 0}
+    if total is None:
+        total = min(counts[s] * max_epochs / w for s, w in norm.items())
+    return {
+        s: min(float(max_epochs), w * total / counts[s])
+        for s, w in norm.items()
+        if counts[s] > 0
+    }
+
+
+def mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    weights: dict[str, float],
+    key_col: str,
+    *,
+    total: int | None = None,
+    max_epochs: int = 1,
+    salt: str = "",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic corpus-mixture sampler: resample a multi-source
+    table toward target proportions (the Pile/Llama-style mixture
+    recipe), with optional upsampling of small sources by repeating
+    them for multiple EPOCHS (rate 2.4 = every row twice + a 40%
+    subsample the third time). Appends an ``epoch`` int column (0-based
+    copy index); sources not named in ``weights`` are dropped.
+
+    Two-phase like :func:`sample_n_per_stratum`: (1) ONE tiny
+    count-per-source aggregation feeds :func:`mixture_plan` on the
+    driver; (2) the sample itself is a row-local literal-map lookup +
+    ``explode(sequence(...))`` + hash filter — zero shuffle, scan-fused,
+    identical row set on any cluster size or resume. Epoch copies use
+    per-epoch salts, so each partial epoch is an independent uniform
+    subsample (and nested across growing rates, same salt discipline as
+    :func:`uniform_score`).
+    """
+    counts = {
+        r["__s"]: r["__n"]
+        for r in df.groupBy(F.col(source_col).alias("__s"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    }
+    plan = mixture_plan(counts, weights, total, max_epochs=max_epochs)
+    if not plan:
+        return df.filter(F.lit(False)).withColumn("epoch", F.lit(0))
+    rate_map = F.create_map(
+        *[x for s, r in plan.items() for x in (F.lit(s), F.lit(float(r)))]
+    )
+    rate = rate_map[F.col(source_col)]
+    # candidate epochs 0..ceil(rate)-1; epoch e survives when the
+    # row's e-salted uniform score clears the remaining partial rate
+    candidates = F.sequence(F.lit(0), F.ceil(rate).cast("int") - 1)
+    out = (
+        df.withColumn("__rate", rate)
+        .filter(F.col("__rate").isNotNull())
+        .withColumn("epoch", F.explode(candidates))
+    )
+    # guard: per-epoch threshold = clamp(rate - epoch, 0, 1)
+    thresh = F.least(F.lit(1.0), F.col("__rate") - F.col("epoch"))
+    scores = [
+        (e, uniform_score(F.col(key_col), f"{salt}\x1fepoch{e}", hash_fn))
+        for e in range(int(-(-max(plan.values()) // 1)))
+    ]
+    u = F.lit(1.0)
+    for e, sc in reversed(scores):
+        u = F.when(F.col("epoch") == e, sc).otherwise(u)
+    return out.filter(u < thresh).drop("__rate")

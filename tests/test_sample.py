@@ -109,3 +109,75 @@ def test_sample_plans_are_scan_local(spark, keyed):
     ):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+# ------------------------------------------------------------------ mixture
+
+
+def test_mixture_plan_math():
+    counts = {"a": 100, "b": 50}
+    # equal target halves: feasible total without upsampling = 100
+    plan = sp.mixture_plan(counts, {"a": 1, "b": 1})
+    assert plan == {"a": pytest.approx(0.5), "b": pytest.approx(1.0)}
+    # explicit total
+    plan = sp.mixture_plan(counts, {"a": 0.5, "b": 0.5}, total=40)
+    assert plan == {"a": pytest.approx(0.2), "b": pytest.approx(0.4)}
+    # upsampling allowed: b repeats up to 2 epochs
+    plan = sp.mixture_plan(counts, {"a": 0.2, "b": 0.8}, total=100,
+                           max_epochs=2)
+    assert plan == {"a": pytest.approx(0.2), "b": pytest.approx(1.6)}
+    # rate caps at max_epochs (shortfall detectable)
+    plan = sp.mixture_plan(counts, {"a": 0.1, "b": 0.9}, total=200,
+                           max_epochs=2)
+    assert plan["b"] == 2.0
+    # zero-weight sources are dropped from the plan
+    assert "a" not in sp.mixture_plan(counts, {"a": 0, "b": 1})
+    with pytest.raises(ValueError):
+        sp.mixture_plan(counts, {"zzz": 1.0})
+
+
+def test_mixture_sample_exact_md5_mirror(spark):
+    rows = [(i, "a" if i < 100 else "b") for i in range(140)]  # 100 a, 40 b
+    df = spark.createDataFrame(rows, "k long, src string")
+    got = {
+        (r.k, r.epoch)
+        for r in sp.mixture_sample(
+            df, "src", {"a": 0.5, "b": 0.5}, "k",
+            total=120, max_epochs=2, hash_fn="md5",
+        ).collect()
+    }
+    # rates: a -> 60/100 = 0.6, b -> 60/40 = 1.5
+    expect = set()
+    for k, src in rows:
+        rate = 0.6 if src == "a" else 1.5
+        for e in range(-(-int(rate) // 1) + 1):
+            thresh = min(1.0, rate - e)
+            if thresh <= 0:
+                continue
+            if _md5_u(f"{k}\x1f\x1fepoch{e}") < thresh:
+                expect.add((k, e))
+    assert got == expect
+    # every epoch-0 'b' row is present (rate >= 1 => full first epoch)
+    assert {(k, 0) for k, s in rows if s == "b"} <= got
+
+
+def test_mixture_sample_proportions_and_determinism(spark):
+    rows = [(i, "big" if i % 5 else "small") for i in range(20000)]
+    df = spark.createDataFrame(rows, "k long, src string")
+    out = sp.mixture_sample(df, "src", {"big": 0.5, "small": 0.5}, "k")
+    agg = {r.src: r.n for r in out.groupBy("src").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    # small source (4000 rows) fully kept; big sampled to ~4000
+    assert agg["small"] == 4000
+    assert abs(agg["big"] - 4000) < 300
+    again = sp.mixture_sample(df, "src", {"big": 0.5, "small": 0.5}, "k")
+    assert {(r.k, r.epoch) for r in out.collect()} == {
+        (r.k, r.epoch) for r in again.collect()
+    }
+
+
+def test_mixture_sample_plan_is_row_local(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, src string")
+    out = sp.mixture_sample(df, "src", {"a": 1, "b": 1}, "k", max_epochs=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan and "Join" not in plan
