@@ -478,3 +478,59 @@ def embedding_near_dup_pairs(
         (F.round(raw, round_dp) if round_dp is not None else raw).alias("score"),
     )
     return pairs.filter(F.col("score") >= threshold)
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", *, out_prefix: str = "q"
+) -> DataFrame:
+    """Symmetric int8 quantization of a float-vector column — the
+    storage/IO lever for embedding tables at 100 TB scale (4x smaller
+    scans; parquet byte arrays also RLE/dict-compress far better than
+    floats). Appends
+
+    * ``{out_prefix}_vec``   — array<tinyint>, component = round(x/scale);
+    * ``{out_prefix}_scale`` — double, per-VECTOR scale = max|x| / 127
+      (per-vector beats a global scale on mixed-norm corpora; the
+      max-abs component maps to ±127 exactly).
+
+    Row-local ``transform``/``aggregate`` expressions: zero shuffle,
+    zero Python, fuses with the scan. All-zero/empty vectors get scale
+    0 and an all-zero q_vec (dequantizing reproduces the zero vector);
+    NULL vectors stay NULL in both outputs. Max roundtrip error per
+    component is scale/2; cosine distortion is O(1/127) — verify
+    downstream with :func:`dequantize_embeddings` + exact rescoring of
+    the quantized candidates.
+    """
+    vec = F.col(vec_col)
+    max_abs = F.aggregate(
+        vec,
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+    scale = max_abs / F.lit(127.0)
+    safe = F.when(F.col(f"{out_prefix}_scale") > 0, F.col(f"{out_prefix}_scale"))
+    return df.withColumn(f"{out_prefix}_scale", scale).withColumn(
+        f"{out_prefix}_vec",
+        F.transform(
+            vec,
+            lambda x: F.round(x.cast("double") / F.coalesce(safe, F.lit(1.0)))
+            .cast("tinyint"),
+        ),
+    )
+
+
+def dequantize_embeddings(
+    df: DataFrame,
+    q_col: str = "q_vec",
+    scale_col: str = "q_scale",
+    out_col: str = "embedding_dq",
+) -> DataFrame:
+    """Inverse of :func:`quantize_embeddings`: ``x ≈ q * scale`` as
+    array<float>. Row-local, shuffle-free."""
+    return df.withColumn(
+        out_col,
+        F.transform(
+            F.col(q_col),
+            lambda q: (q.cast("double") * F.col(scale_col)).cast("float"),
+        ),
+    )

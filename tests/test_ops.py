@@ -1011,3 +1011,57 @@ def test_unigram_score_plan_broadcasts_vocab(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ------------------------------------------------------------- quantization
+
+
+def test_quantize_roundtrip_error_bound(spark):
+    rows = [
+        (1, [0.5, -1.0, 0.25, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),      # zero vector
+        (3, [1e-4, -3e-4, 2e-4, 5e-5]), # tiny norms
+        (4, None),                      # NULL passes through
+        (5, [127.0, -63.5, 31.75, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = sim.dequantize_embeddings(sim.quantize_embeddings(df))
+    got = {r.vec_id: r for r in out.collect()}
+    for vid, vec in rows:
+        r = got[vid]
+        if vec is None:
+            assert r.q_vec is None and r.embedding_dq is None
+            continue
+        assert r.q_scale == pytest.approx(max(abs(v) for v in vec) / 127.0)
+        assert all(-127 <= q <= 127 for q in r.q_vec)
+        for orig, dq in zip(vec, r.embedding_dq):
+            assert abs(orig - dq) <= r.q_scale / 2 + 1e-9, (vid, orig, dq)
+    # zero vector: scale 0, all-zero ints, exact zero roundtrip
+    assert got[2].q_scale == 0.0
+    assert list(got[2].q_vec) == [0, 0, 0, 0]
+    assert list(got[2].embedding_dq) == [0.0, 0.0, 0.0, 0.0]
+    # max-abs component maps to exactly +/-127
+    assert max(got[5].q_vec) == 127 or min(got[5].q_vec) == -127
+
+
+def test_quantize_cosine_distortion_small(spark, vectors):
+    import math
+
+    out = sim.dequantize_embeddings(sim.quantize_embeddings(vectors)).collect()
+    for r in out:
+        a, b = r.embedding, r.embedding_dq
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        cos = sum(x * y for x, y in zip(a, b)) / (na * nb)
+        assert cos > 0.9999, r.vec_id
+
+
+def test_quantize_plan_is_row_local(spark):
+    df = spark.createDataFrame([(1, [1.0])], "vec_id long, embedding array<float>")
+    plan = (
+        sim.dequantize_embeddings(sim.quantize_embeddings(df))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan
