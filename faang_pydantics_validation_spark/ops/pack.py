@@ -44,6 +44,7 @@ def pack_sequences(
     n_groups: int = 8,
     eos: str | None = "<|eos|>",
     drop_partial_tail: bool = False,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Pack documents into fixed-``seq_len`` token sequences:
 
@@ -66,11 +67,22 @@ def pack_sequences(
     stream order within a group is ``id_col`` ascending, so the output
     is a pure function of the input table — re-runs and resumes produce
     byte-identical sequences.
+
+    ``tokens_col`` packs an EXISTING array column instead of whitespace
+    tokens — the hook for real tokenizations (BPE ids as array<int>,
+    subword strings, …); ``text_col`` is ignored, ``eos`` must then be
+    an element of the same type (or None). All offsets/slicing are
+    element-type agnostic.
     """
     if seq_len < 1:
         raise ValueError("seq_len must be >= 1")
     L = F.lit(seq_len).cast("bigint")
-    toks = _tokens(F.col(text_col))
+    if tokens_col is not None:
+        toks = F.coalesce(
+            F.col(tokens_col), F.array().cast(df.schema[tokens_col].dataType)
+        )
+    else:
+        toks = _tokens(F.col(text_col))
     if eos is not None:
         toks = F.concat(toks, F.array(F.lit(eos)))
     staged = (

@@ -118,3 +118,25 @@ def test_pack_plan_two_exchanges_no_join_no_python(spark):
     # and the sequence-reassembly aggregation's (group, seq_idx) keys
     # are satisfied by that same distribution, so Catalyst reuses it
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_pack_pretokenized_int_ids(spark):
+    """tokens_col packs an existing array<int> column (BPE-id shaped)
+    with an int EOS — the real-tokenizer hook."""
+    rows = [(1, [10, 11, 12]), (2, [20, 21, 22, 23, 24]), (3, []), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, ids array<int>")
+    got = (
+        pk.pack_sequences(
+            df, "doc_id", tokens_col="ids", seq_len=4, n_groups=1, eos=0
+        )
+        .orderBy("seq_idx")
+        .collect()
+    )
+    # stream: 10 11 12 0 | 20 21 22 23 | 24 0
+    assert [list(r.tokens) for r in got] == [
+        [10, 11, 12, 0],
+        [20, 21, 22, 23],
+        [24, 0],
+    ]
+    assert got[0].doc_ids == [1] and got[1].doc_ids == [2]
+    assert got[2].doc_ids == [2]
