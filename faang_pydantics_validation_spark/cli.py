@@ -355,6 +355,33 @@ def cmd_curate(args) -> int:
         "drop_reason_counts": reason_counts,
         "wall_sec": round(time.monotonic() - t0, 2),
     }
+
+    if args.pack:
+        # pipeline terminus: pack the kept corpus into fixed-length
+        # token sequences. Reads back ONLY (record_id, content) from
+        # the kept partition (partition-pruned, column-pruned) — the
+        # audit columns never enter the pack shuffle.
+        from faang_pydantics_validation_spark.ops import pack as pkm
+
+        kept_docs = (
+            spark.read.parquet(f"{args.output}/curated")
+            .filter(F.col("status") == "kept")
+            .select("record_id", "content")
+        )
+        packed = pkm.pack_sequences(
+            kept_docs, "record_id", "content",
+            seq_len=args.pack, n_groups=args.pack_groups,
+        )
+        packed.write.mode("overwrite").parquet(f"{args.output}/packed")
+        st = pkm.packing_stats(
+            spark.read.parquet(f"{args.output}/packed"), args.pack
+        ).collect()[0]
+        summary["packed"] = {
+            "seq_len": args.pack,
+            "n_sequences": int(st.n_sequences),
+            "total_tokens": int(st.total_tokens),
+            "packing_efficiency": float(st.packing_efficiency),
+        }
     os.makedirs(args.output, exist_ok=True)
     with open(f"{args.output}/summary.json", "w") as f:
         json.dump(summary, f)
@@ -395,6 +422,14 @@ def main(argv=None) -> int:
         action="store_true",
         help="also drop repetitious docs (Gopher dup-line/para/n-gram screens)",
     )
+    pc.add_argument(
+        "--pack",
+        type=int,
+        default=0,
+        metavar="SEQ_LEN",
+        help="also pack the kept corpus into SEQ_LEN-token sequences",
+    )
+    pc.add_argument("--pack-groups", type=int, default=32)
     pc.add_argument("--neardup", action="store_true",
                     help="also drop MinHash near-dup components")
     pc.add_argument("--require-permissive-license", action="store_true",

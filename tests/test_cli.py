@@ -213,3 +213,36 @@ def test_cli_curate_repetition_flag(tmp_path, spark):
     cur2 = spark.read.parquet(f"{out_plain}/curated")
     kept2 = {r.path for r in cur2.filter("kept").collect()}
     assert "src/spam.py" in kept2
+
+
+def test_cli_curate_pack_terminus(tmp_path, spark):
+    """--pack N writes a packed-sequences parquet of the KEPT corpus;
+    token totals reconcile with the kept docs (one EOS per doc)."""
+    from pyspark.sql import functions as F
+
+    out_dir = str(tmp_path / "cur_pack")
+    # 2 stream groups: a tiny corpus would otherwise pay 32 partial
+    # tail sequences and efficiency reads as tail overhead, not packing
+    rc = main(["curate", "--synthetic", "2000", "--output", out_dir,
+               "--pack", "128", "--pack-groups", "2", "--cores", "4"])
+    assert rc == 0
+    summary = json.load(open(f"{out_dir}/summary.json"))
+    p = summary["packed"]
+    assert p["seq_len"] == 128 and p["n_sequences"] > 0
+    assert 0.9 < p["packing_efficiency"] <= 1.0
+    packed = spark.read.parquet(f"{out_dir}/packed")
+    assert packed.count() == p["n_sequences"]
+    kept = (
+        spark.read.parquet(f"{out_dir}/curated")
+        .filter("status = 'kept'")
+        .select("content")
+    )
+    toks = kept.select(
+        F.size(
+            F.filter(
+                F.split(F.trim(F.lower(F.coalesce(F.col("content"), F.lit("")))), r"\s+"),
+                lambda t: F.length(t) > 0,
+            )
+        ).alias("n")
+    ).agg(F.sum("n"), F.sum((F.col("n") > 0).cast("long"))).collect()[0]
+    assert p["total_tokens"] == toks[0] + toks[1]  # tokens + per-doc EOS
