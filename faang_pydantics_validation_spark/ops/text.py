@@ -731,3 +731,49 @@ def unigram_logprob_score(
             9,
         ).alias("lm_logprob"),
     )
+
+
+def lm_perplexity_buckets(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n_buckets: int = 3,
+    oov_logprob: float = -20.0,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """CCNet's corpus partitioning by LM score: bucket documents into
+    ``n_buckets`` quantile bands of :func:`unigram_logprob_score`'s
+    ``lm_logprob`` (bucket 0 = highest mean logprob = "head" /
+    most-fluent; last bucket = "tail"). Appends ``lm_logprob``,
+    ``oov_frac`` and ``lm_bucket`` to the input rows; zero-token docs
+    get NULL ``lm_bucket``.
+
+    Scale shape: scoring is the broadcast-join pass documented on
+    :func:`unigram_logprob_score`; the bucket CUTS come from ONE
+    ``approx_percentile`` (a mergeable sketch — no global sort) over
+    the doc-count-sized score table, collected as n_buckets-1 driver
+    literals; the final score→payload join is an id-keyed shuffle of
+    (id, 3 doubles) against the corpus — the one unavoidable wide step,
+    exactly CCNet's reshard-by-bucket. Callers that only need the
+    score table should use :func:`unigram_logprob_score` directly and
+    skip the join.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    scores = unigram_logprob_score(
+        df, vocab, text_col, id_col, oov_logprob=oov_logprob
+    )
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = scores.filter(F.col("n_tokens") > 0).agg(
+        F.percentile_approx("lm_logprob", qs, accuracy).alias("c")
+    ).collect()[0]["c"] or []
+    # bucket 0 = above the TOP cut (most fluent); descending thresholds
+    bucket = F.when(F.col("n_tokens") == 0, F.lit(None).cast("int"))
+    for i, cut in enumerate(sorted(cuts, reverse=True)):
+        bucket = bucket.when(F.col("lm_logprob") >= cut, F.lit(i))
+    bucket = bucket.otherwise(F.lit(len(cuts)))
+    return df.join(
+        scores.select(id_col, "n_tokens", "oov_frac", "lm_logprob"), id_col
+    ).withColumn("lm_bucket", bucket).drop("n_tokens")

@@ -1065,3 +1065,33 @@ def test_quantize_plan_is_row_local(spark):
         .toString()
     )
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_lm_perplexity_buckets(spark):
+    """Bucketing over a CONTINUUM of scores (doc i mixes i rare tokens
+    into a common base): most-fluent doc in bucket 0, most-gibberish in
+    the last, buckets monotone in lm_logprob, empties NULL."""
+    docs = []
+    for i in range(40):
+        toks = ["the"] * (40 - i) + [f"zz{i}x{j}" for j in range(i)]
+        docs.append((i, " ".join(toks)))
+    docs += [(990, ""), (991, None)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    vocab = tx.unigram_vocab(df)
+    out = tx.lm_perplexity_buckets(df, vocab, n_buckets=2)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[0].lm_bucket == 0           # all-common = most fluent
+    assert rows[39].lm_bucket == 1          # most rare tokens = tail
+    assert rows[990].lm_bucket is None and rows[991].lm_bucket is None
+    scored = sorted(
+        (r for r in rows.values() if r.lm_bucket is not None),
+        key=lambda r: -r.lm_logprob,
+    )
+    # buckets are monotone non-decreasing as fluency drops
+    assert [r.lm_bucket for r in scored] == sorted(r.lm_bucket for r in scored)
+    n0 = sum(1 for r in scored if r.lm_bucket == 0)
+    assert 15 <= n0 <= 25  # ~median split of 40 scored docs
+    # determinism
+    again = {r.doc_id: r.lm_bucket for r in
+             tx.lm_perplexity_buckets(df, vocab, n_buckets=2).collect()}
+    assert again == {k: v.lm_bucket for k, v in rows.items()}
