@@ -777,3 +777,41 @@ def lm_perplexity_buckets(
     return df.join(
         scores.select(id_col, "n_tokens", "oov_frac", "lm_logprob"), id_col
     ).withColumn("lm_bucket", bucket).drop("n_tokens")
+
+
+def decontaminate(
+    corpus: DataFrame,
+    probes: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    probe_id_col: str = "probe_id",
+    probe_text_col: str = "text",
+    n: int = 8,
+    min_containment: float = 0.8,
+) -> DataFrame:
+    """The action half of :func:`contamination_matches`: DROP every
+    corpus document containing any probe (eval example) at containment
+    ≥ ``min_containment`` (default 0.8 — the published decontamination
+    operating point; the scan's 0.5 default is for AUDITING, where you
+    want to see near-misses).
+
+    One LEFT ANTI join of the corpus against the distinct contaminated
+    doc-id set — the id set is benchmark-match-sized (small), so Spark
+    broadcasts it and the corpus still never shuffles end-to-end:
+    probe-side broadcast for the scan, id-set broadcast for the drop.
+    Returns the corpus rows unchanged minus contaminated docs.
+    """
+    from pyspark.sql.functions import broadcast
+
+    hits = contamination_matches(
+        corpus,
+        probes,
+        id_col=id_col,
+        text_col=text_col,
+        probe_id_col=probe_id_col,
+        probe_text_col=probe_text_col,
+        n=n,
+        min_containment=min_containment,
+    ).select(id_col).distinct()
+    return corpus.join(broadcast(hits), id_col, "left_anti")

@@ -1095,3 +1095,35 @@ def test_lm_perplexity_buckets(spark):
     again = {r.doc_id: r.lm_bucket for r in
              tx.lm_perplexity_buckets(df, vocab, n_buckets=2).collect()}
     assert again == {k: v.lm_bucket for k, v in rows.items()}
+
+
+def test_decontaminate_drops_only_contaminated(spark):
+    probe_text = "the quick brown fox jumps over the lazy dog tonight"
+    corpus = spark.createDataFrame(
+        [
+            (1, "PREFIX words here " + probe_text + " SUFFIX trailing text"),
+            (2, "the quick brown fox jumps over something else entirely today"
+                " and more filler"),
+            (3, "totally unrelated document about constraint validation"),
+        ],
+        "doc_id int, text string",
+    )
+    probes = spark.createDataFrame(
+        [(100, probe_text)], "probe_id int, text string"
+    )
+    kept = {r.doc_id for r in tx.decontaminate(corpus, probes, n=4).collect()}
+    assert kept == {2, 3}  # verbatim paste dropped; partial overlap kept
+    # at a permissive threshold the partial-overlap doc goes too
+    kept_strict = {
+        r.doc_id
+        for r in tx.decontaminate(
+            corpus, probes, n=4, min_containment=0.1
+        ).collect()
+    }
+    assert kept_strict == {3}
+    # corpus schema unchanged
+    out = tx.decontaminate(corpus, probes, n=4)
+    assert out.columns == corpus.columns
+    # drop joins are broadcast — the corpus never sort-merge joins
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
