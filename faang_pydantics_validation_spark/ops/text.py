@@ -815,3 +815,70 @@ def decontaminate(
         min_containment=min_containment,
     ).select(id_col).distinct()
     return corpus.join(broadcast(hits), id_col, "left_anti")
+
+
+#: line-level boilerplate markers (C4's javascript/cookie screens) —
+#: matched case-insensitively as substrings of the line.
+LINE_DROP_MARKERS: tuple[str, ...] = (
+    "javascript",
+    "cookie",
+    "terms of use",
+    "privacy policy",
+)
+
+
+def clean_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_words_per_line: int = 3,
+    require_terminal_punct: bool = True,
+    drop_markers: tuple[str, ...] = LINE_DROP_MARKERS,
+    out_col: str = "text_clean",
+) -> DataFrame:
+    """C4-style LINE-level cleaning of web text (Raffel et al. 2020 —
+    public): keep only lines that
+
+    * have at least ``min_words_per_line`` whitespace words,
+    * end in terminal punctuation (``. ! ? "``) when
+      ``require_terminal_punct`` (C4's "retain lines that end in a
+      terminal punctuation mark"),
+    * contain none of ``drop_markers`` (case-insensitive substring —
+      the javascript/cookie-notice screens).
+
+    Appends ``out_col`` (kept lines re-joined with newlines; NULL text
+    stays NULL) and ``n_lines_removed``. This targets WEB text —
+    running it on source code would delete the code; the code path has
+    its own screens in ops/code.
+
+    One ``split`` → ``filter`` (pure lambda predicates) →
+    ``concat_ws`` — row-local, zero shuffle, zero Python, scan-fused.
+    Document-level C4 screens ("lorem ipsum", the ``{`` brace test)
+    belong in :func:`quality_filter`-style verdicts, not line removal.
+    """
+
+    def keep(line: Column) -> Column:
+        t = F.trim(line)
+        words = F.size(
+            F.filter(F.split(t, r"\s+"), lambda w: F.length(w) > 0)
+        )
+        cond = words >= min_words_per_line
+        if require_terminal_punct:
+            cond = cond & t.rlike(r'[.!?"]$')
+        low = F.lower(t)
+        for m in drop_markers:
+            cond = cond & ~low.contains(m.lower())
+        return cond
+
+    lines = F.split(F.col(text_col), r"\n")
+    kept = F.filter(lines, keep)
+    return df.withColumns(
+        {
+            out_col: F.when(
+                F.col(text_col).isNotNull(), F.concat_ws("\n", kept)
+            ),
+            "n_lines_removed": F.coalesce(
+                F.size(lines) - F.size(kept), F.lit(0)
+            ),
+        }
+    )

@@ -1127,3 +1127,39 @@ def test_decontaminate_drops_only_contaminated(spark):
     # drop joins are broadcast — the corpus never sort-merge joins
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
+
+
+def test_clean_lines_c4_rules(spark):
+    doc = "\n".join([
+        "This is a real sentence that survives cleaning.",   # kept
+        "Too short.",                                          # <3 words
+        "No terminal punctuation on this line",                # no punct
+        "Please enable JavaScript to view this page.",         # marker
+        "We use cookie banners to annoy readers.",             # marker
+        'A quoted line may end with a quote."',                # kept
+        "Another perfectly fine sentence stays here!",         # kept
+    ])
+    df = spark.createDataFrame(
+        [(1, doc), (2, None), (3, "")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in tx.clean_lines(df).collect()}
+    kept = rows[1].text_clean.split("\n")
+    assert kept == [
+        "This is a real sentence that survives cleaning.",
+        'A quoted line may end with a quote."',
+        "Another perfectly fine sentence stays here!",
+    ]
+    assert rows[1].n_lines_removed == 4
+    assert rows[2].text_clean is None and rows[2].n_lines_removed == 0
+    assert rows[3].text_clean == "" and rows[3].n_lines_removed == 1
+    # markers configurable; punctuation rule optional
+    loose = tx.clean_lines(
+        df, require_terminal_punct=False, drop_markers=()
+    ).collect()[0]
+    assert "No terminal punctuation on this line" in loose.text_clean
+
+
+def test_clean_lines_plan_is_scan_local(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    plan = tx.clean_lines(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
