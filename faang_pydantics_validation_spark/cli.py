@@ -323,6 +323,53 @@ def cmd_curate(args) -> int:
             .drop("__nd")
         )
 
+    mixture_rates: dict[str, float] = {}
+    if args.mixture:
+        # language-mixture DOWNSAMPLING among the surviving rows:
+        # resample toward the target lang proportions (ops/sample
+        # semantics, max_epochs pinned to 1 — upsampling would
+        # duplicate rows, which the kept/dropped audit model cannot
+        # express). Languages not named in the mixture are dropped.
+        # One tiny count agg over survivors; the keep decision itself
+        # is a row-local literal-map lookup + salted hash filter.
+        from faang_pydantics_validation_spark.ops.sample import (
+            mixture_plan,
+            uniform_score,
+        )
+
+        weights = {
+            k.strip(): float(v)
+            for k, v in (p.split("=") for p in args.mixture.split(","))
+        }
+        counts = {
+            r["__s"]: r["__n"]
+            for r in curated.filter("kept")
+            .groupBy(F.col("lang").alias("__s"))
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .collect()
+        }
+        present = {k: v for k, v in weights.items() if counts.get(k)}
+        mixture_rates = mixture_plan(counts, present) if present else {}
+        rate_map = F.create_map(
+            *[x for s, r in mixture_rates.items() for x in (F.lit(s), F.lit(r))]
+        )
+        mix_keep = (
+            rate_map[F.col("lang")].isNotNull()
+            & (
+                uniform_score(F.col("record_id"), "mixture")
+                < rate_map[F.col("lang")]
+            )
+        )
+        curated = (
+            curated.withColumn(
+                "drop_reasons",
+                F.when(
+                    F.col("kept") & ~mix_keep, F.array(F.lit("mixture"))
+                ).otherwise(F.col("drop_reasons")),
+            )
+            .withColumn("kept", F.size("drop_reasons") == 0)
+        )
+
     # the partition column must be a STRING: parquet partition values
     # round-trip as directory names, so a boolean would read back as the
     # string "true"/"false" and break downstream filters
@@ -355,6 +402,10 @@ def cmd_curate(args) -> int:
         "drop_reason_counts": reason_counts,
         "wall_sec": round(time.monotonic() - t0, 2),
     }
+    if args.mixture:
+        summary["mixture_rates"] = {
+            k: round(v, 6) for k, v in mixture_rates.items()
+        }
 
     if args.pack:
         # pipeline terminus: pack the kept corpus into fixed-length
@@ -421,6 +472,13 @@ def main(argv=None) -> int:
         "--repetition",
         action="store_true",
         help="also drop repetitious docs (Gopher dup-line/para/n-gram screens)",
+    )
+    pc.add_argument(
+        "--mixture",
+        default="",
+        metavar="LANG=W,...",
+        help="resample kept rows toward lang proportions (downsample only;"
+        " langs not named are dropped), e.g. python=0.5,go=0.3,rust=0.2",
     )
     pc.add_argument(
         "--pack",

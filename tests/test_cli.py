@@ -246,3 +246,37 @@ def test_cli_curate_pack_terminus(tmp_path, spark):
         ).alias("n")
     ).agg(F.sum("n"), F.sum((F.col("n") > 0).cast("long"))).collect()[0]
     assert p["total_tokens"] == toks[0] + toks[1]  # tokens + per-doc EOS
+
+
+def test_cli_curate_mixture_flag(tmp_path, spark):
+    """--mixture resamples the kept corpus toward target lang
+    proportions; unnamed langs drop with the 'mixture' audit reason."""
+    from pyspark.sql import functions as F
+
+    out_dir = str(tmp_path / "cur_mix")
+    rc = main(["curate", "--synthetic", "4000", "--output", out_dir,
+               "--mixture", "python=0.7,go=0.3", "--cores", "4"])
+    assert rc == 0
+    summary = json.load(open(f"{out_dir}/summary.json"))
+    assert summary["drop_reason_counts"].get("mixture", 0) > 0
+    rates = summary["mixture_rates"]
+    assert set(rates) == {"python", "go"} and all(0 < r <= 1 for r in rates.values())
+    kept = (
+        spark.read.parquet(f"{out_dir}/curated")
+        .filter("status = 'kept'")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    by_lang = {r.lang: r.n for r in kept}
+    assert set(by_lang) == {"python", "go"}  # other langs all dropped
+    total = sum(by_lang.values())
+    assert abs(by_lang["python"] / total - 0.7) < 0.08
+    # deterministic: second run keeps the identical row set
+    out2 = str(tmp_path / "cur_mix2")
+    rc = main(["curate", "--synthetic", "4000", "--output", out2,
+               "--mixture", "python=0.7,go=0.3", "--cores", "4"])
+    assert rc == 0
+    a = {r.record_id for r in spark.read.parquet(f"{out_dir}/curated").filter("kept").collect()}
+    b = {r.record_id for r in spark.read.parquet(f"{out2}/curated").filter("kept").collect()}
+    assert a == b
