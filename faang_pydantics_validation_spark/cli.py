@@ -47,6 +47,40 @@ def make_pyfiles_zip(out_path: str) -> str:
     return out_path
 
 
+def _parse_mixture(spec: str) -> dict[str, float]:
+    """argparse ``type=`` validator for ``--mixture LANG=W,...`` — turns
+    malformed specs into a clear usage error instead of a bare
+    ValueError from a float cast deep inside the job."""
+    if not spec:
+        return {}
+    weights: dict[str, float] = {}
+    for part in spec.split(","):
+        lang, sep, w = part.partition("=")
+        lang = lang.strip()
+        if not sep or not lang:
+            raise argparse.ArgumentTypeError(
+                f"malformed mixture entry {part!r}: expected LANG=WEIGHT"
+                " (e.g. python=0.5,go=0.3)"
+            )
+        try:
+            weight = float(w)
+        except ValueError:
+            raise argparse.ArgumentTypeError(
+                f"malformed mixture weight {w!r} for language {lang!r}:"
+                " expected a number"
+            ) from None
+        if weight <= 0:
+            raise argparse.ArgumentTypeError(
+                f"mixture weight for {lang!r} must be > 0, got {w!r}"
+            )
+        if lang in weights:
+            raise argparse.ArgumentTypeError(
+                f"language {lang!r} appears twice in --mixture"
+            )
+        weights[lang] = weight
+    return weights
+
+
 def _build_session(args):
     from faang_pydantics_validation_spark.session import get_spark
 
@@ -337,10 +371,7 @@ def cmd_curate(args) -> int:
             uniform_score,
         )
 
-        weights = {
-            k.strip(): float(v)
-            for k, v in (p.split("=") for p in args.mixture.split(","))
-        }
+        weights = args.mixture  # pre-validated dict (see _parse_mixture)
         counts = {
             r["__s"]: r["__n"]
             for r in curated.filter("kept")
@@ -350,16 +381,35 @@ def cmd_curate(args) -> int:
         }
         present = {k: v for k, v in weights.items() if counts.get(k)}
         mixture_rates = mixture_plan(counts, present) if present else {}
-        rate_map = F.create_map(
-            *[x for s, r in mixture_rates.items() for x in (F.lit(s), F.lit(r))]
-        )
-        mix_keep = (
-            rate_map[F.col("lang")].isNotNull()
-            & (
-                uniform_score(F.col("record_id"), "mixture")
-                < rate_map[F.col("lang")]
+        if mixture_rates:
+            rate_map = F.create_map(
+                *[
+                    x
+                    for s, r in mixture_rates.items()
+                    for x in (F.lit(s), F.lit(r))
+                ]
             )
-        )
+            mix_keep = (
+                rate_map[F.col("lang")].isNotNull()
+                & (
+                    uniform_score(F.col("record_id"), "mixture")
+                    < rate_map[F.col("lang")]
+                )
+            )
+        else:
+            # no named language has surviving rows (e.g. case mismatch
+            # 'Python' vs 'python', or everything was filtered upstream):
+            # a zero-arg create_map builds map<void,void> and the lookup
+            # fails ANALYSIS, killing the whole job. Semantics say every
+            # row is outside the mixture → drop all, and say why.
+            print(
+                "warning: --mixture names no language present in the kept"
+                f" rows (asked: {sorted(weights)}; present:"
+                f" {sorted(counts)}); all kept rows drop with reason"
+                " 'mixture'",
+                file=sys.stderr,
+            )
+            mix_keep = F.lit(False)
         curated = (
             curated.withColumn(
                 "drop_reasons",
@@ -476,6 +526,7 @@ def main(argv=None) -> int:
     pc.add_argument(
         "--mixture",
         default="",
+        type=_parse_mixture,
         metavar="LANG=W,...",
         help="resample kept rows toward lang proportions (downsample only;"
         " langs not named are dropped), e.g. python=0.5,go=0.3,rust=0.2",

@@ -164,14 +164,24 @@ def packing_stats(packed: DataFrame, seq_len: int) -> DataFrame:
     sequences, full sequences, total tokens, packing efficiency
     (tokens / (sequences x seq_len)) and docs-per-sequence mean. One
     partial+final aggregation — no second pass over the corpus."""
+    n_seq = F.count(F.lit(1))
+    # every sum/ratio coalesced to 0: over an EMPTY packed table (zero
+    # kept docs upstream) sum() is NULL and the ratio divides by zero,
+    # which would surface as None and crash numeric consumers (e.g. the
+    # curate CLI's summary.json ints)
     return packed.agg(
-        F.count(F.lit(1)).alias("n_sequences"),
-        F.sum((F.col("n_tokens") == seq_len).cast("bigint")).alias("n_full"),
-        F.sum("n_tokens").alias("total_tokens"),
+        n_seq.alias("n_sequences"),
+        F.coalesce(
+            F.sum((F.col("n_tokens") == seq_len).cast("bigint")), F.lit(0)
+        ).alias("n_full"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("total_tokens"),
         F.round(
-            F.sum("n_tokens")
-            / (F.count(F.lit(1)) * F.lit(seq_len)).cast("double"),
+            F.when(n_seq == 0, F.lit(0.0)).otherwise(
+                F.sum("n_tokens") / (n_seq * F.lit(seq_len)).cast("double")
+            ),
             6,
         ).alias("packing_efficiency"),
-        F.round(F.avg("n_docs"), 6).alias("mean_docs_per_seq"),
+        F.round(F.coalesce(F.avg("n_docs"), F.lit(0.0)), 6).alias(
+            "mean_docs_per_seq"
+        ),
     )

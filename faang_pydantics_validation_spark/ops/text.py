@@ -504,6 +504,80 @@ def _run_stats(sorted_arr: Column) -> Column:
     )
 
 
+def _dup_gram_starts(srt: Column, vs: Column) -> Column:
+    """Ascending token start-indices of n-gram OCCURRENCES whose value
+    appears at least twice in the document.
+
+    ``srt`` is the value-sorted ``array<struct<v,s>>`` of (n-gram, start)
+    pairs and ``vs`` its values-only projection (both staged columns, so
+    each is materialized once per row). Equal values are adjacent after
+    the sort, so an occurrence is duplicated iff its value equals its
+    left or right neighbour — computed with two shifted ``zip_with``
+    passes (array-level, O(m)), never a quadratic membership probe."""
+    m = F.size(vs)
+    pad = F.array(F.lit(None).cast("string"))
+    body = F.greatest(m - 1, F.lit(0))
+    prev = F.concat(pad, F.slice(vs, 1, body))
+    nxt = F.concat(F.slice(vs, 2, body), pad)
+    eq_prev = F.zip_with(vs, prev, lambda a, b: a.eqNullSafe(b))
+    eq_next = F.zip_with(vs, nxt, lambda a, b: a.eqNullSafe(b))
+    flags = F.zip_with(eq_prev, eq_next, lambda a, b: a | b)
+    return F.array_sort(
+        F.filter(
+            F.zip_with(srt, flags, lambda st, fl: F.when(fl, st["s"])),
+            lambda s: s.isNotNull(),
+        )
+    )
+
+
+def _covered_chars(toks: Column, dup_starts: Column, n: int) -> Column:
+    """Character mass of the UNION of token intervals ``[s, s+n-1]`` for
+    each duplicated-n-gram start ``s`` — duplicated-character coverage
+    WITHOUT overlap double-counting (a duplicated passage of W words no
+    longer counts ~n× its length). Counts covered token characters plus
+    one joining space between adjacent covered tokens, the same
+    space-joined convention as the n-gram mass itself, so the fraction
+    is bounded by ~1 and Gopher's published thresholds apply at their
+    calibrated operating point.
+
+    ONE O(m) fold over token positions: starts are sorted and distinct,
+    positions advance by 1, so at most one start is consumed per step —
+    a two-pointer interval-union walk as a codegen-safe ``aggregate``
+    expression. Row-local, zero shuffle, zero Python."""
+    init = F.struct(
+        F.lit(0).alias("j"),
+        F.lit(-1).alias("end"),
+        F.lit(False).alias("pc"),
+        F.lit(0).cast("bigint").alias("chars"),
+    )
+
+    def merge(acc: Column, p: Column) -> Column:
+        started = F.get(dup_starts, acc["j"]) == p
+        j2 = F.when(started, acc["j"] + 1).otherwise(acc["j"])
+        end2 = F.when(started, p + F.lit(n - 1)).otherwise(acc["end"])
+        covered = p <= end2
+        add = F.when(
+            covered,
+            F.length(F.get(toks, p)).cast("bigint")
+            + F.when(acc["pc"], F.lit(1)).otherwise(F.lit(0)).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
+        return F.struct(
+            j2.alias("j"),
+            end2.alias("end"),
+            covered.alias("pc"),
+            (acc["chars"] + add).alias("chars"),
+        )
+
+    return F.when(F.size(dup_starts) == 0, F.lit(0).cast("bigint")).otherwise(
+        F.aggregate(
+            F.sequence(F.lit(0), F.size(toks) - 1),
+            init,
+            merge,
+            lambda acc: acc["chars"],
+        )
+    )
+
+
 def repetition_metrics(
     df: DataFrame,
     text_col: str = "text",
@@ -516,26 +590,34 @@ def repetition_metrics(
 
     * ``rep_dup_line_frac`` / ``rep_dup_para_frac`` — fraction of
       lines / paragraphs that duplicate an earlier one
-      (``1 - distinct/total``);
+      (``1 - distinct/total``); BLANK lines/paragraphs are excluded
+      before counting (canonical Gopher splits lines on ``\\n+``, so
+      empties never appear — otherwise ordinary code with a handful of
+      blank lines measures dup-line fractions near the 0.30 drop
+      threshold);
     * ``rep_dup_line_char_frac`` / ``rep_dup_para_char_frac`` —
       fraction of document characters inside duplicated lines /
-      paragraphs (all occurrences);
+      paragraphs (all occurrences; lines never overlap, so plain
+      summing is already coverage);
     * ``rep_top_{n}gram_char_frac`` (n in ``top_ngram_ns``) — character
-      mass of the single most frequent word n-gram over document length;
+      mass (count × joined length) of the single most frequent word
+      n-gram over document length — Gopher counts this one WITH
+      overlap, and so do we;
     * ``rep_dup_{n}gram_char_frac`` (n in ``dup_ngram_ns``) — character
-      mass of all occurrences of word n-grams appearing more than once.
+      COVERAGE of all duplicated word n-grams: the union of their token
+      spans, no overlap double-counting (see :func:`_covered_chars`),
+      so the value is bounded by ~1 and comparable to Gopher A1's
+      published thresholds.
 
-    Character fractions use ``length(text)`` as the denominator and the
-    space-joined n-gram length as the numerator mass — a documented
-    approximation of "characters contained in the occurrences" that
-    avoids overlap bookkeeping while preserving the signal's ordering.
+    Character fractions use ``length(text)`` as the denominator.
 
-    Everything is a row-local ``array_sort`` + ONE :func:`_run_stats`
-    fold per granularity (lines, paragraphs, one per n) over a single
-    staged token array — codegen'd JVM expressions, zero shuffle, zero
-    Python, so the op fuses with the scan and scales linearly: at 100 TB
-    it is embarrassingly parallel with no state beyond one row. NULL
-    text yields all-zero metrics.
+    Everything is row-local: one ``array_sort`` + :func:`_run_stats`
+    fold per line/para/top-n granularity, and per dup-n one sort of
+    (value, start) pairs + shifted ``zip_with`` duplicate flags + an
+    O(m) interval-union fold — codegen-safe JVM expressions, zero
+    shuffle, zero Python, so the op fuses with the scan and scales
+    linearly: at 100 TB it is embarrassingly parallel with no state
+    beyond one row. NULL text yields all-zero metrics.
     """
     text = F.coalesce(F.col(text_col), F.lit(""))
     staged = df.withColumns(
@@ -545,13 +627,41 @@ def repetition_metrics(
                 F.split(F.trim(F.lower(text)), r"\s+"),
                 lambda t: F.length(t) > 0,
             ),
-            "__rep_lines": F.split(text, r"\n"),
+            "__rep_lines": F.filter(
+                F.split(text, r"\n"),
+                lambda line: F.length(F.trim(line)) > 0,
+            ),
             "__rep_paras": F.filter(
                 F.split(text, r"\n{2,}"),
                 lambda p: F.length(F.trim(p)) > 0,
             ),
         }
     )
+    # staged (value, start)-sorted n-gram arrays + duplicated-start
+    # indices per dup-n; staged as real columns so multiply-referenced
+    # arrays materialize once per row (CollapseProject keeps non-cheap
+    # expressions with >1 consumer out of line)
+    tmp_cols: list[str] = ["__rep_text", "__rep_toks", "__rep_lines", "__rep_paras"]
+    for n in dup_ngram_ns:
+        srt_c, vs_c, ds_c = f"__rep_srt{n}", f"__rep_vs{n}", f"__rep_ds{n}"
+        staged = staged.withColumn(
+            srt_c,
+            F.array_sort(
+                F.transform(
+                    _ngrams_from_tokens(F.col("__rep_toks"), n),
+                    lambda x, i: F.struct(
+                        x.alias("v"), i.cast("int").alias("s")
+                    ),
+                )
+            ),
+        )
+        staged = staged.withColumn(
+            vs_c, F.transform(F.col(srt_c), lambda x: x["v"])
+        )
+        staged = staged.withColumn(
+            ds_c, _dup_gram_starts(F.col(srt_c), F.col(vs_c))
+        )
+        tmp_cols += [srt_c, vs_c, ds_c]
     n_chars = F.greatest(F.length(F.col("__rep_text")), F.lit(1)).cast("double")
 
     def frac(num: Column, den: Column) -> Column:
@@ -567,11 +677,11 @@ def repetition_metrics(
         st = _run_stats(F.array_sort(_ngrams_from_tokens(F.col("__rep_toks"), n)))
         cols[f"rep_top_{n}gram_char_frac"] = frac(st["best_chars"], n_chars)
     for n in dup_ngram_ns:
-        st = _run_stats(F.array_sort(_ngrams_from_tokens(F.col("__rep_toks"), n)))
-        cols[f"rep_dup_{n}gram_char_frac"] = frac(st["dup_chars"], n_chars)
-    return staged.withColumns(cols).drop(
-        "__rep_text", "__rep_toks", "__rep_lines", "__rep_paras"
-    )
+        cols[f"rep_dup_{n}gram_char_frac"] = frac(
+            _covered_chars(F.col("__rep_toks"), F.col(f"__rep_ds{n}"), n),
+            n_chars,
+        )
+    return staged.withColumns(cols).drop(*tmp_cols)
 
 
 #: Gopher table-A1 repetition thresholds (public): metric column →
@@ -769,13 +879,25 @@ def lm_perplexity_buckets(
     cuts = scores.filter(F.col("n_tokens") > 0).agg(
         F.percentile_approx("lm_logprob", qs, accuracy).alias("c")
     ).collect()[0]["c"] or []
-    # bucket 0 = above the TOP cut (most fluent); descending thresholds
-    bucket = F.when(F.col("n_tokens") == 0, F.lit(None).cast("int"))
+    # bucket 0 = above the TOP cut (most fluent); descending thresholds.
+    # NULL n_tokens (a row whose id_col is NULL — SQL join semantics
+    # never match NULL keys, so its score columns come back NULL) and
+    # zero-token docs both get a NULL bucket rather than silently
+    # vanishing or defaulting to the tail band.
+    bucket = F.when(
+        F.col("n_tokens").isNull() | (F.col("n_tokens") == 0),
+        F.lit(None).cast("int"),
+    )
     for i, cut in enumerate(sorted(cuts, reverse=True)):
         bucket = bucket.when(F.col("lm_logprob") >= cut, F.lit(i))
     bucket = bucket.otherwise(F.lit(len(cuts)))
+    # LEFT join: scores cover every non-NULL id via explode_outer, and
+    # NULL-id rows must survive with NULL scores — an inner join would
+    # silently drop them from the output corpus.
     return df.join(
-        scores.select(id_col, "n_tokens", "oov_frac", "lm_logprob"), id_col
+        scores.select(id_col, "n_tokens", "oov_frac", "lm_logprob"),
+        id_col,
+        "left",
     ).withColumn("lm_bucket", bucket).drop("n_tokens")
 
 

@@ -280,3 +280,37 @@ def test_cli_curate_mixture_flag(tmp_path, spark):
     a = {r.record_id for r in spark.read.parquet(f"{out_dir}/curated").filter("kept").collect()}
     b = {r.record_id for r in spark.read.parquet(f"{out2}/curated").filter("kept").collect()}
     assert a == b
+
+
+def test_cli_curate_mixture_malformed_is_usage_error(tmp_path):
+    """Malformed LANG=W lists die at argparse with a clear message, not
+    a bare ValueError from a float cast mid-job."""
+    import pytest
+
+    for bad in ("python=0.5,,go=0.3", "python", "python=abc",
+                "=0.5", "python=-1", "python=0.5,python=0.5"):
+        with pytest.raises(SystemExit) as exc:
+            main(["curate", "--synthetic", "10",
+                  "--output", str(tmp_path / "x"), "--mixture", bad])
+        assert exc.value.code == 2  # argparse usage error
+
+
+def test_cli_curate_mixture_no_matching_lang(tmp_path, spark):
+    """--mixture naming only absent languages (e.g. case mismatch
+    'Python' vs 'python') must complete — dropping every kept row with
+    reason 'mixture' — instead of dying on a zero-arg create_map
+    (map<void,void> lookup AnalysisException). With --pack the packed
+    summary must also survive the resulting EMPTY kept corpus (NULL
+    sums previously crashed int()/float() before summary.json)."""
+    out_dir = str(tmp_path / "cur_mix_none")
+    rc = main(["curate", "--synthetic", "1000", "--output", out_dir,
+               "--mixture", "Python=1.0", "--pack", "128",
+               "--pack-groups", "2", "--cores", "4"])
+    assert rc == 0
+    summary = json.load(open(f"{out_dir}/summary.json"))
+    assert summary["kept"] == 0
+    assert summary["mixture_rates"] == {}
+    assert summary["drop_reason_counts"].get("mixture", 0) > 0
+    p = summary["packed"]
+    assert p["n_sequences"] == 0 and p["total_tokens"] == 0
+    assert p["packing_efficiency"] == 0.0

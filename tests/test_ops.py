@@ -814,7 +814,8 @@ def _py_repetition(text: str | None) -> dict[str, float]:
         return extra, dup_chars, best
 
     out: dict[str, float] = {}
-    lines = text.split("\n")
+    # blank lines/paragraphs never count (Gopher splits on \n+)
+    lines = [line for line in text.split("\n") if line.strip()]
     paras = [p for p in _re.split(r"\n{2,}", text) if p.strip()]
     for name, arr in (("line", lines), ("para", paras)):
         extra, dup_chars, _ = run_stats(arr)
@@ -831,8 +832,19 @@ def _py_repetition(text: str | None) -> dict[str, float]:
         _, _, best = run_stats(ngrams(n))
         out[f"rep_top_{n}gram_char_frac"] = best / n_chars
     for n in range(5, 11):
-        _, dup_chars, _ = run_stats(ngrams(n))
-        out[f"rep_dup_{n}gram_char_frac"] = dup_chars / n_chars
+        # duplicated-char COVERAGE: union of token spans of duplicated
+        # n-gram occurrences — covered token chars + one space between
+        # adjacent covered tokens, never double-counted across overlaps
+        grams = ngrams(n)
+        c = collections.Counter(grams)
+        covered: set[int] = set()
+        for i, g in enumerate(grams):
+            if c[g] > 1:
+                covered.update(range(i, i + n))
+        ordered = sorted(covered)
+        chars = sum(len(toks[p]) for p in ordered)
+        chars += sum(1 for a, b in zip(ordered, ordered[1:]) if b == a + 1)
+        out[f"rep_dup_{n}gram_char_frac"] = chars / n_chars
     return out
 
 
@@ -854,6 +866,16 @@ REP_DOCS = [
     (6, None),
     (7, "one two three four five one two three four five six seven"),
     (8, "x\n\n\ny\n\ny\nz"),  # 3+ newline para split, inline dup line
+    # ordinary code: blank separator lines must NOT count as duplicate
+    # lines (ADVICE r3: a 3-function snippet measured 0.27 vs the 0.30
+    # threshold under blank-line counting)
+    (
+        9,
+        "def alpha(a):\n    return a + 1\n\n"
+        "def bravo(b):\n    return b * 2\n\n"
+        "def charlie(c):\n    return c - 3\n\n"
+        "def delta(d):\n    return d / 4\n",
+    ),
 ]
 
 
@@ -879,6 +901,13 @@ def test_repetition_metrics_known_values(spark):
     # doc 3: one long repeated phrase => top 2-gram mass ~ whole doc
     assert rows[3]["rep_top_2gram_char_frac"] > 0.8
     assert rows[3]["rep_dup_5gram_char_frac"] > 0.8
+    # coverage counting is bounded: the fully-repeated doc must NOT
+    # exceed 1.0 (the pre-r4 per-occurrence sum measured ~4.6 here)
+    for n in range(5, 11):
+        assert rows[3][f"rep_dup_{n}gram_char_frac"] <= 1.0
+    # doc 9: blank-separated code — blank lines are not duplicates
+    assert rows[9]["rep_dup_line_frac"] == 0.0
+    assert rows[9]["rep_dup_line_char_frac"] == 0.0
     # empty + NULL: all metrics exactly zero
     for doc_id in (5, 6):
         assert all(
@@ -897,6 +926,8 @@ def test_repetition_filter_verdicts(spark):
     assert not rows[2]["rep_keep"]  # 0.5 dup-line frac > 0.30
     assert "rep_dup_line_frac" in rows[2]["rep_drop_reasons"]
     assert rows[5]["rep_keep"] and rows[6]["rep_keep"]
+    # ordinary blank-separated code survives the Gopher screens
+    assert rows[9]["rep_keep"], rows[9]["rep_drop_reasons"]
 
 
 def test_repetition_plan_is_scan_local(spark):
