@@ -265,6 +265,58 @@ def test_ivf_topk_matches_exact_scores(spark, vectors):
     assert got == want
 
 
+def test_ivf_broadcast_centroids_match_literal_path(spark, vectors):
+    """Centroids passed as a DataFrame (the past-the-literal-ceiling
+    transport) assign and rank IDENTICALLY to the plan-literal list
+    path — same argmax fold, same rounded scores, same tie-breaks."""
+    cents = [
+        (i, r.embedding)
+        for i, r in enumerate(vectors.filter(F.col("vec_id") < 8).collect())
+    ]
+    cdf = sim.centroids_table(spark, cents)
+    lit_assign = {r.vec_id: r.cell for r in sim.ivf_assign(vectors, cents).collect()}
+    bc_assign = {r.vec_id: r.cell for r in sim.ivf_assign(vectors, cdf).collect()}
+    assert lit_assign == bc_assign
+    qs = vectors.filter(F.col("vec_id") == 0)
+    lit_topk = sorted(
+        (r.query_id, r.neighbor_id, r.score, r.rank)
+        for r in sim.cosine_topk_ivf(vectors, qs, cents, k=5, nprobe=2).collect()
+    )
+    bc_topk = sorted(
+        (r.query_id, r.neighbor_id, r.score, r.rank)
+        for r in sim.cosine_topk_ivf(vectors, qs, cdf, k=5, nprobe=2).collect()
+    )
+    assert lit_topk == bc_topk
+
+
+def test_ivf_broadcast_past_literal_ceiling_no_giant_plan(spark):
+    """dim 768 × 10⁴ cells (7.7M floats — ~40× the literal ceiling): an
+    over-ceiling LIST is auto-promoted to the broadcast single-row join,
+    the executed plan carries a broadcast exchange, and the plan TEXT
+    stays small (the literal path would fold ~100 MB of floats into it).
+    End-to-end: the assignment actually runs and lands in-range."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    n_cells, dim = 10_000, 768
+    cent_rows = [
+        (int(i), rng.standard_normal(dim).astype("float64").tolist())
+        for i in range(n_cells)
+    ]
+    corpus = spark.createDataFrame(
+        [(int(i), rng.standard_normal(dim).astype("float64").tolist())
+         for i in range(8)],
+        "vec_id int, embedding array<double>",
+    )
+    assert n_cells * dim > sim.IVF_LITERAL_MAX_FLOATS
+    assigned = sim.ivf_assign(corpus, cent_rows)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan  # single-row broadcast join, not a literal
+    assert len(plan) < 1_000_000, f"plan text is {len(plan)} chars"
+    cells = [r.cell for r in assigned.collect()]
+    assert len(cells) == 8 and all(0 <= c < n_cells for c in cells)
+
+
 def test_hyperplane_matrix_matches_spark_xxhash64(spark):
     """The driver-side xxHash64 reimplementation is bit-identical to
     Spark's F.xxhash64(lit(p), lit(j)) — the invariant that keeps
