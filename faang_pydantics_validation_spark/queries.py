@@ -1893,6 +1893,286 @@ WHERE source IS NOT NULL AND NOT regexp_matches(source, '^src[0-9]$')
 """
 
 
+# ------------------------- training-pipeline contract queries (round 4) --
+#
+# Three ops promoted from pytest-only evidence into the 50-slot driver
+# registry (VERDICT r3 #4): repetition_filter, decontaminate and
+# pack_sequences. Each runs over a DETERMINISTIC inline fixture (pure
+# module literals / generators — independent of sf_dir, like
+# q_organism_batch) and its oracle is a VALUES literal produced by an
+# INDEPENDENT pure-Python mirror (Counter/set/stream logic, no Spark) at
+# oracle_sql() time — the same pattern the pytest parity tests use, now
+# driver-adjudicated.
+
+_REP_PHRASE = "echo fern glow hint iris jade kelp lime moss nest opal pine"
+
+_REP_CONTRACT_DOCS: list[tuple[int, str]] = [
+    # 1: long all-distinct prose — every screen quiet
+    (1, " ".join(f"word{i:03d}" for i in range(60))),
+    # 2: dup-line violator (plus the n-gram screens it drags along)
+    (2, "spam line\n" * 12 + "closing alpha remark\nfinal beta remark\n"),
+    # 3: one phrase repeated wall-to-wall — top-n-gram + dup-n-gram
+    (3, "buy cheap pills now " * 40),
+    # 4: duplicated paragraphs
+    (4, "lorem ipsum dolor sit amet\n\n" * 4 + "unique closing paragraph"),
+    # 5: ordinary blank-separated code — the r4 blank-line regression:
+    # blank separator lines must not count as duplicate lines
+    (
+        5,
+        "def alpha(a):\n    return a + 1\n\n"
+        "def bravo(b):\n    return b * 2\n\n"
+        "def charlie(c):\n    return c - 3\n",
+    ),
+    # 6: empty — all metrics zero, keeps
+    (6, ""),
+    # 7: a 12-word phrase repeated twice inside 288 distinct words —
+    # keeps under coverage counting (~7.7% dup-10gram mass), but the
+    # pre-r4 per-occurrence double-count measured ~25% and dropped it
+    (
+        7,
+        " ".join(f"w{i:03d}" for i in range(144))
+        + " " + _REP_PHRASE + " "
+        + " ".join(f"w{i:03d}" for i in range(144, 288))
+        + " " + _REP_PHRASE,
+    ),
+]
+
+
+def _py_rep_verdict(text: str | None) -> tuple[bool, str]:
+    """Independent pure-Python mirror of ops.text.repetition_filter's
+    verdict (Counter + coverage sets, no sorted-run fold, no Spark) —
+    the oracle generator for the repetition_filter contract query."""
+    import collections
+    import re as _re
+
+    from faang_pydantics_validation_spark.ops.text import (
+        REPETITION_THRESHOLDS,
+    )
+
+    text = text or ""
+    n_chars = max(len(text), 1)
+    vals: dict[str, float] = {}
+    lines = [line for line in text.split("\n") if line.strip()]
+    paras = [p for p in _re.split(r"\n{2,}", text) if p.strip()]
+    for name, arr in (("line", lines), ("para", paras)):
+        c = collections.Counter(arr)
+        extra = sum(v - 1 for v in c.values())
+        dup_chars = sum(len(k) * v for k, v in c.items() if v > 1)
+        vals[f"rep_dup_{name}_frac"] = extra / max(len(arr), 1)
+        vals[f"rep_dup_{name}_char_frac"] = dup_chars / n_chars
+    toks = [t for t in _re.split(r"[ \t\n\x0b\f\r]+", text.strip().lower()) if t]
+
+    def ngrams(n: int) -> list[str]:
+        if len(toks) < n:
+            return []
+        return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+    for n in (2, 3, 4):
+        c = collections.Counter(ngrams(n))
+        best = max((len(k) * v for k, v in c.items() if v > 1), default=0)
+        vals[f"rep_top_{n}gram_char_frac"] = best / n_chars
+    for n in range(5, 11):
+        grams = ngrams(n)
+        c = collections.Counter(grams)
+        covered: set[int] = set()
+        for i, g in enumerate(grams):
+            if c[g] > 1:
+                covered.update(range(i, i + n))
+        ordered = sorted(covered)
+        chars = sum(len(toks[p]) for p in ordered)
+        chars += sum(1 for a, b in zip(ordered, ordered[1:]) if b == a + 1)
+        vals[f"rep_dup_{n}gram_char_frac"] = chars / n_chars
+    reasons = sorted(
+        m for m, v in REPETITION_THRESHOLDS.items() if round(vals[m], 9) > v
+    )
+    return (not reasons, ",".join(reasons))
+
+
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition screens (dup line/para fractions, top-/dup-
+    n-gram character mass with overlap-free coverage) as keep/drop
+    verdicts over a crafted fixture hitting every screen class plus the
+    blank-line and coverage regressions. Reasons are sorted so the
+    contract is order-stable."""
+    from faang_pydantics_validation_spark.ops.text import repetition_filter
+
+    df = spark.createDataFrame(_REP_CONTRACT_DOCS, "doc_id long, text string")
+    return (
+        repetition_filter(df)
+        .select(
+            "doc_id",
+            "rep_keep",
+            F.array_join(F.array_sort("rep_drop_reasons"), ",").alias(
+                "drop_reasons"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sql_repetition_filter() -> str:
+    rows = []
+    for doc_id, text in _REP_CONTRACT_DOCS:
+        keep, reasons = _py_rep_verdict(text)
+        rows.append(
+            f"  (CAST({doc_id} AS BIGINT), {'TRUE' if keep else 'FALSE'},"
+            f" '{reasons}')"
+        )
+    return (
+        "SELECT * FROM (VALUES\n"
+        + ",\n".join(rows)
+        + "\n) AS t(doc_id, rep_keep, drop_reasons) ORDER BY doc_id"
+    )
+
+
+_DECON_PROBES: list[tuple[int, str]] = [
+    (101, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (102, "one two three four five six seven eight nine"),
+]
+
+_DECON_CORPUS: list[tuple[int, str]] = [
+    (1, "perfectly ordinary training document about rivers and maps"),
+    # contains probe 101 verbatim → containment 1.0, dropped
+    (
+        2,
+        "padding starts here alpha beta gamma delta epsilon zeta eta theta"
+        " iota kappa and padding resumes afterwards",
+    ),
+    # contains only the first 8 tokens of probe 101 → 1/3 of its
+    # 8-grams shared, containment ~0.33 < 0.8, kept
+    (
+        3,
+        "prefix words alpha beta gamma delta epsilon zeta eta theta"
+        " completely different continuation tokens here",
+    ),
+    # contains probe 102 verbatim → dropped
+    (4, "quiz answers one two three four five six seven eight nine end"),
+    (5, "another clean document mentioning alpha and beta only briefly"),
+    (6, "too short to match"),
+]
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs containing any probe at
+    8-gram containment ≥ 0.8 are dropped via a broadcast LEFT ANTI join
+    (probes broadcast, corpus never shuffles). Returns the SURVIVING
+    docs as (doc_id, md5(text))."""
+    from faang_pydantics_validation_spark.ops.text import decontaminate
+
+    corpus = spark.createDataFrame(_DECON_CORPUS, "doc_id long, text string")
+    probes = spark.createDataFrame(_DECON_PROBES, "probe_id long, text string")
+    return (
+        decontaminate(corpus, probes)
+        .select(F.col("doc_id"), F.md5("text").alias("text_md5"))
+        .orderBy("doc_id")
+    )
+
+
+def _sql_decontaminate() -> str:
+    import hashlib
+    import re as _re
+
+    def gram_set(text: str) -> set[str]:
+        toks = [
+            t
+            for t in _re.split(r"[ \t\n\x0b\f\r]+", text.strip().lower())
+            if t
+        ]
+        return {
+            " ".join(toks[i : i + 8]) for i in range(len(toks) - 8 + 1)
+        }
+
+    probe_sets = [gram_set(t) for _, t in _DECON_PROBES]
+    rows = []
+    for doc_id, text in _DECON_CORPUS:
+        doc_grams = gram_set(text)
+        contaminated = any(
+            ps and len(ps & doc_grams) / len(ps) >= 0.8 for ps in probe_sets
+        )
+        if not contaminated:
+            md5 = hashlib.md5(text.encode("utf-8")).hexdigest()
+            rows.append(f"  (CAST({doc_id} AS BIGINT), '{md5}')")
+    return (
+        "SELECT * FROM (VALUES\n"
+        + ",\n".join(rows)
+        + "\n) AS t(doc_id, text_md5) ORDER BY doc_id"
+    )
+
+
+_PACK_SEQ_LEN = 32
+
+#: 24 docs of 1..13 tokens plus empty/whitespace-only docs (skipped by
+#: packing) — enough to span several sequence windows and exercise
+#: doc-split-across-boundary, multi-doc sequences and the partial tail.
+_PACK_DOCS: list[tuple[int, str]] = [
+    (i, " ".join(f"tok{i:02d}x{j:02d}" for j in range((i * 7) % 13 + 1)))
+    for i in range(1, 25)
+] + [(25, ""), (26, "   ")]
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing (concat docs in deterministic id
+    order with EOS separators, cut into exact-seq_len windows) over one
+    stream group, summarized as order-stable scalars: per-sequence
+    token/doc counts, the contributing doc-id chain and an md5 of the
+    packed token stream."""
+    from faang_pydantics_validation_spark.ops.pack import pack_sequences
+
+    df = spark.createDataFrame(_PACK_DOCS, "doc_id long, text string")
+    packed = pack_sequences(
+        df, "doc_id", "text", seq_len=_PACK_SEQ_LEN, n_groups=1
+    )
+    return (
+        packed.select(
+            F.col("seq_idx").cast("bigint").alias("seq_idx"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.array_join(
+                F.transform("doc_ids", lambda x: x.cast("string")), ","
+            ).alias("doc_ids"),
+            F.md5(F.concat_ws(" ", "tokens")).alias("tokens_md5"),
+        )
+        .orderBy("seq_idx")
+    )
+
+
+def _sql_pack_sequences() -> str:
+    import hashlib
+    import re as _re
+
+    stream: list[tuple[int, str]] = []
+    for doc_id, text in sorted(_PACK_DOCS):
+        toks = [
+            t
+            for t in _re.split(r"[ \t\n\x0b\f\r]+", (text or "").strip().lower())
+            if t
+        ]
+        if not toks:
+            continue
+        for t in [*toks, "<|eos|>"]:
+            stream.append((doc_id, t))
+    rows = []
+    for s in range(0, len(stream), _PACK_SEQ_LEN):
+        chunk = stream[s : s + _PACK_SEQ_LEN]
+        toks = [t for _, t in chunk]
+        ids: list[int] = []
+        for d, _ in chunk:
+            if not ids or ids[-1] != d:
+                ids.append(d)
+        md5 = hashlib.md5(" ".join(toks).encode("utf-8")).hexdigest()
+        rows.append(
+            f"  (CAST({s // _PACK_SEQ_LEN} AS BIGINT),"
+            f" CAST({len(toks)} AS BIGINT), CAST({len(ids)} AS BIGINT),"
+            f" '{','.join(map(str, ids))}', '{md5}')"
+        )
+    return (
+        "SELECT * FROM (VALUES\n"
+        + ",\n".join(rows)
+        + "\n) AS t(seq_idx, n_tokens, n_docs, doc_ids, tokens_md5)"
+        " ORDER BY seq_idx"
+    )
+
+
 # --------------------------------------------------------------- registry --
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1907,7 +2187,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rule_regex": q_rule_regex,
     "rule_uri": q_rule_uri,
     "rule_numeric": q_rule_numeric,
-    "rule_range": q_rule_range,
+    "repetition_filter": q_repetition_filter,
     "rule_cross_field_map": q_rule_cross_field_map,
     "rule_prefix": q_rule_prefix,
     "rule_cardinality": q_rule_cardinality,
@@ -1923,11 +2203,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "uniqueness_violation_rows": q_uniqueness_violation_rows,
     "stats_columns": q_stats_columns,
     "stats_length_histogram": q_stats_length_histogram,
-    "stats_percentiles": q_stats_percentiles,
+    "pack_sequences": q_pack_sequences,
     "drift_chisquare": q_drift_chisquare,
     "drift_ks": q_drift_ks,
     "dedup_exact": q_dedup_exact,
-    "dedup_exact_duplicates": q_dedup_exact_duplicates,
+    "decontaminate": q_decontaminate,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "text_jaccard_pairs": q_text_jaccard_pairs,
@@ -1953,6 +2233,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # after xrec_uniqueness). q_drift_partition_scores (the Arrow-sketch
 # pandas-UDF path, rows-only by design) stays importable and is covered
 # by tests/test_drift_partition.py instead of a registry slot.
+# Round-4 rotation (VERDICT r3 #4): three low-information slots swapped
+# for the training ops that previously had pytest-only evidence —
+# rule_range (an engine extension beyond the reference, still fully
+# pytest/oracle-covered via q_rule_range below), dedup_exact_duplicates
+# (near-duplicate evidence of dedup_exact) and stats_percentiles
+# (exact grouped percentiles; the percentile sketch path stays
+# adjudicated through lm bucketing + stats_length_histogram) → now
+# repetition_filter, decontaminate, pack_sequences. The retired query
+# functions and their SQL remain importable and pytest-exercised.
 assert len(QUERIES) == 50, f"driver harvests 50 queries, got {len(QUERIES)}"
 
 ORACLE_SQL: dict[str, str] = {
@@ -1967,7 +2256,7 @@ ORACLE_SQL: dict[str, str] = {
     "rule_regex": SQL_RULE_REGEX,
     "rule_uri": SQL_RULE_URI,
     "rule_numeric": SQL_RULE_NUMERIC,
-    "rule_range": SQL_RULE_RANGE,
+    "repetition_filter": _sql_repetition_filter(),
     "rule_cross_field_map": SQL_RULE_CROSS_FIELD_MAP,
     "rule_prefix": SQL_RULE_PREFIX,
     "rule_cardinality": SQL_RULE_CARDINALITY,
@@ -1983,11 +2272,11 @@ ORACLE_SQL: dict[str, str] = {
     "uniqueness_violation_rows": SQL_UNIQUENESS_VIOLATION_ROWS,
     "stats_columns": SQL_STATS_COLUMNS,
     "stats_length_histogram": SQL_STATS_LENGTH_HISTOGRAM,
-    "stats_percentiles": SQL_STATS_PERCENTILES,
+    "pack_sequences": _sql_pack_sequences(),
     "drift_chisquare": SQL_DRIFT_CHISQUARE,
     "drift_ks": SQL_DRIFT_KS,
     "dedup_exact": SQL_DEDUP_EXACT,
-    "dedup_exact_duplicates": SQL_DEDUP_EXACT_DUPLICATES,
+    "decontaminate": _sql_decontaminate(),
     "text_jaccard_pairs": SQL_TEXT_JACCARD_PAIRS,
     "text_quality": SQL_TEXT_QUALITY,
     "text_langid": SQL_TEXT_LANGID,
