@@ -249,6 +249,38 @@ def cmd_run(args) -> int:
     return 0
 
 
+#: curate pipeline stages in execution order; a dropped row is
+#: attributed to the EARLIEST stage among its drop reasons (the
+#: row-local stages accumulate reasons in one fused pass, so a file can
+#: carry both a quality and a secrets reason — it died at quality).
+CURATE_STAGES: tuple[tuple[int, str], ...] = (
+    (1, "quality"),
+    (2, "secrets"),
+    (3, "repetition"),
+    (4, "license"),
+    (5, "exact_dedup"),
+    (6, "near_dup"),
+    (7, "decontaminate"),
+    (8, "mixture"),
+)
+
+
+def _reason_stage(reason):
+    """Column expr: drop-reason string → stage ordinal (CURATE_STAGES)."""
+    from pyspark.sql import functions as F
+
+    return (
+        F.when(reason == "secrets", 2)
+        .when(reason.startswith("rep_"), 3)
+        .when(reason == "restrictive_license", 4)
+        .when(reason == "exact_dup", 5)
+        .when(reason == "near_dup", 6)
+        .when(reason == "contaminated", 7)
+        .when(reason == "mixture", 8)
+        .otherwise(1)  # the code-quality rule ids (long_lines, ...)
+    )
+
+
 def cmd_curate(args) -> int:
     """Training-corpus curation over the code table: quality filter →
     secret screen → license tag → exact dedup (→ optional MinHash
@@ -266,6 +298,18 @@ def cmd_curate(args) -> int:
     --repetition adds the Gopher-style repetitious-text screen
     (ops/text.repetition_filter) — still row-local, still fused into
     the same single pass as the other quality stages.
+    --decontaminate PROBES drops survivors containing any eval probe
+    (n-gram containment ≥ --decontaminate-containment): probes are
+    broadcast for the scan and the contaminated-id set is broadcast for
+    the mark, so the corpus never shuffles for this stage.
+    --save-baseline / --baseline persist and score the kept-corpus
+    numeric profile (ops/checks.baseline) — cross-run drift monitoring
+    for a recurring ingest; scores land in summary.json.
+
+    summary.json always carries ``stage_lineage``: rows in/out per
+    pipeline stage, attributed by each dropped row's EARLIEST-stage
+    reason — derived from the audit columns of the single written
+    output, never a second pass over the input.
     """
     from pyspark.sql import SparkSession, Window
     from pyspark.sql import functions as F
@@ -357,6 +401,51 @@ def cmd_curate(args) -> int:
             .drop("__nd")
         )
 
+    if args.decontaminate:
+        # eval-set decontamination among the survivors: n-gram
+        # containment scan with the probe table broadcast, then a
+        # broadcast mark of the (benchmark-sized) contaminated-id set.
+        # Dropped rows get reason 'contaminated' instead of vanishing,
+        # so the audit/lineage model still reconciles.
+        from faang_pydantics_validation_spark.ops.text import (
+            contamination_matches,
+        )
+
+        probes = spark.read.parquet(args.decontaminate)
+        if not {"probe_id", "text"} <= set(probes.columns):
+            raise SystemExit(
+                "--decontaminate table must have columns (probe_id, text);"
+                f" got {probes.columns}"
+            )
+        survivors = curated.filter("kept").select("record_id", "content")
+        hits = (
+            contamination_matches(
+                survivors,
+                probes,
+                id_col="record_id",
+                text_col="content",
+                min_containment=args.decontaminate_containment,
+            )
+            .select("record_id")
+            .distinct()
+        )
+        curated = (
+            curated.join(
+                F.broadcast(hits.withColumn("__ct", F.lit(True))),
+                "record_id",
+                "left",
+            )
+            .withColumn(
+                "drop_reasons",
+                F.when(
+                    F.col("__ct").isNotNull() & F.col("kept"),
+                    F.array(F.lit("contaminated")),
+                ).otherwise(F.col("drop_reasons")),
+            )
+            .withColumn("kept", F.size("drop_reasons") == 0)
+            .drop("__ct")
+        )
+
     mixture_rates: dict[str, float] = {}
     if args.mixture:
         # language-mixture DOWNSAMPLING among the surviving rows:
@@ -445,13 +534,97 @@ def cmd_curate(args) -> int:
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
+    # per-stage lineage from ONE agg over the dropped partition: each
+    # dropped row's earliest-stage reason, counted by stage
+    stage_drops = {
+        int(r.stage): int(r.n)
+        for r in out_df.filter(F.col("status") == "dropped")
+        .select(
+            F.array_min(F.transform("drop_reasons", _reason_stage)).alias(
+                "stage"
+            )
+        )
+        .groupBy("stage")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    active = {1, 2, 5}
+    if args.repetition:
+        active.add(3)
+    if args.require_permissive_license:
+        active.add(4)
+    if args.neardup:
+        active.add(6)
+    if args.decontaminate:
+        active.add(7)
+    if args.mixture:
+        active.add(8)
+    lineage, running = [], rows_in
+    for sid, stage_name in CURATE_STAGES:
+        if sid not in active:
+            continue
+        d = stage_drops.get(sid, 0)
+        lineage.append(
+            {
+                "stage": stage_name,
+                "rows_in": running,
+                "dropped": d,
+                "rows_out": running - d,
+            }
+        )
+        running -= d
+
     summary = {
         "rows_in": rows_in,
         "kept": kept,
         "dropped": rows_in - kept,
         "drop_reason_counts": reason_counts,
+        "stage_lineage": lineage,
         "wall_sec": round(time.monotonic() - t0, 2),
     }
+
+    if args.save_baseline or args.baseline:
+        # kept-corpus numeric profile (length/token/line distributions)
+        # — the cross-run drift surface for a recurring ingest. Reads
+        # only the kept partition of what was already written.
+        from faang_pydantics_validation_spark.checks.baseline import (
+            drift_against_baseline,
+            read_baseline,
+            snapshot_profile,
+            write_baseline,
+        )
+
+        c = F.coalesce(F.col("content"), F.lit(""))
+        kept_feats = out_df.filter(F.col("status") == "kept").select(
+            F.length(c).cast("double").alias("content_len"),
+            F.size(F.split(F.trim(c), r"\s+")).cast("double").alias(
+                "n_tokens"
+            ),
+            F.size(F.split(c, "\n")).cast("double").alias("n_lines"),
+        )
+        profile_cols = ["content_len", "n_tokens", "n_lines"]
+        if args.save_baseline:
+            write_baseline(
+                snapshot_profile(kept_feats, profile_cols),
+                args.save_baseline,
+            )
+            summary["baseline_written"] = args.save_baseline
+        if args.baseline:
+            drift = drift_against_baseline(
+                kept_feats, read_baseline(spark, args.baseline)
+            )
+            summary["baseline_drift"] = {
+                r.column: {
+                    "ks": round(float(r.ks_statistic), 6),
+                    "chi2": round(float(r.chi2_statistic), 4),
+                    "n_current": int(r.n_current),
+                    "n_baseline": int(r.n_baseline),
+                    "mean_current": round(float(r.mean_current), 4),
+                    "mean_baseline": round(float(r.mean_baseline), 4),
+                }
+                for r in drift.collect()
+            }
+
     if args.mixture:
         summary["mixture_rates"] = {
             k: round(v, 6) for k, v in mixture_rates.items()
@@ -483,6 +656,8 @@ def cmd_curate(args) -> int:
             "total_tokens": int(st.total_tokens),
             "packing_efficiency": float(st.packing_efficiency),
         }
+    # final wall covers every stage incl. baseline scoring and packing
+    summary["wall_sec"] = round(time.monotonic() - t0, 2)
     os.makedirs(args.output, exist_ok=True)
     with open(f"{args.output}/summary.json", "w") as f:
         json.dump(summary, f)
@@ -543,6 +718,31 @@ def main(argv=None) -> int:
                     help="also drop MinHash near-dup components")
     pc.add_argument("--require-permissive-license", action="store_true",
                     help="drop files with an identified non-permissive license")
+    pc.add_argument(
+        "--decontaminate",
+        metavar="PROBES_PARQUET",
+        help="drop kept docs containing any probe from this parquet of"
+        " eval examples (columns: probe_id, text)",
+    )
+    pc.add_argument(
+        "--decontaminate-containment",
+        type=float,
+        default=0.8,
+        metavar="FRAC",
+        help="n-gram containment threshold for --decontaminate"
+        " (default 0.8, the published decontamination operating point)",
+    )
+    pc.add_argument(
+        "--save-baseline",
+        metavar="PATH",
+        help="write this run's kept-corpus numeric profile snapshot",
+    )
+    pc.add_argument(
+        "--baseline",
+        metavar="PATH",
+        help="score the kept corpus against a prior --save-baseline"
+        " snapshot; per-column KS/chi-square lands in summary.json",
+    )
     pc.add_argument("--cores", type=int, default=None)
 
     args = p.parse_args(argv)

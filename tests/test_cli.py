@@ -314,3 +314,138 @@ def test_cli_curate_mixture_no_matching_lang(tmp_path, spark):
     p = summary["packed"]
     assert p["n_sequences"] == 0 and p["total_tokens"] == 0
     assert p["packing_efficiency"] == 0.0
+
+
+def test_cli_curate_decontaminate_flag(tmp_path, spark):
+    """--decontaminate drops kept docs containing an eval probe at high
+    n-gram containment, with the 'contaminated' audit reason; clean docs
+    and the probe-free control are untouched."""
+    probe_text = (
+        "what is the capital city of the ancient kingdom described "
+        "in the second passage above respond with exactly one word"
+    )
+    body = "".join(
+        f"def helper_{j}(value_{j}):\n    return value_{j} * {j} + 1\n"
+        for j in range(10)
+    )
+    rows = [
+        ("org/a", "src/contaminated.py", "a" * 40, "python",
+         body + f"# eval: {probe_text}\n"),
+        ("org/a", "src/clean.py", "b" * 40, "python",
+         body + "# just an ordinary trailing comment here\n"),
+    ]
+    src = str(tmp_path / "src_dc")
+    spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    ).write.mode("overwrite").parquet(src)
+    probes = str(tmp_path / "probes")
+    spark.createDataFrame(
+        [("p1", probe_text)], "probe_id string, text string"
+    ).write.mode("overwrite").parquet(probes)
+
+    out_dir = str(tmp_path / "cur_dc")
+    rc = main(["curate", "--input", src, "--output", out_dir,
+               "--decontaminate", probes, "--cores", "4"])
+    assert rc == 0
+    summary = json.load(open(f"{out_dir}/summary.json"))
+    assert summary["drop_reason_counts"].get("contaminated", 0) == 1, summary
+    cur = spark.read.parquet(f"{out_dir}/curated")
+    kept_paths = {r.path for r in cur.filter("kept").collect()}
+    assert "src/clean.py" in kept_paths
+    assert "src/contaminated.py" not in kept_paths
+    # lineage shows the decontaminate stage explicitly
+    stages = {s["stage"]: s for s in summary["stage_lineage"]}
+    assert stages["decontaminate"]["dropped"] == 1
+
+
+def test_cli_curate_decontaminate_bad_probe_schema(tmp_path, spark):
+    src = str(tmp_path / "src_bad")
+    spark.createDataFrame(
+        [("r", "p", "c" * 40, "python", "def f(x):\n    return x\n")],
+        "repo string, path string, commit string, lang string, content string",
+    ).write.mode("overwrite").parquet(src)
+    probes = str(tmp_path / "badprobes")
+    spark.createDataFrame(
+        [("oops",)], "wrong_column string"
+    ).write.mode("overwrite").parquet(probes)
+    import pytest
+
+    with pytest.raises(SystemExit, match="probe_id"):
+        main(["curate", "--input", src, "--output", str(tmp_path / "o"),
+              "--decontaminate", probes, "--cores", "4"])
+
+
+def test_cli_curate_stage_lineage_reconciles(tmp_path, spark):
+    """stage_lineage chains: each stage's rows_out is the next stage's
+    rows_in, the first rows_in is the input count, the last rows_out is
+    the kept count, and per-stage drops sum to the total."""
+    out_dir = str(tmp_path / "cur_lin")
+    rc = main(["curate", "--synthetic", "3000", "--output", out_dir,
+               "--repetition", "--neardup", "--cores", "4"])
+    assert rc == 0
+    summary = json.load(open(f"{out_dir}/summary.json"))
+    lineage = summary["stage_lineage"]
+    assert [s["stage"] for s in lineage] == [
+        "quality", "secrets", "repetition", "exact_dedup", "near_dup"
+    ]
+    assert lineage[0]["rows_in"] == summary["rows_in"]
+    for prev, nxt in zip(lineage, lineage[1:]):
+        assert prev["rows_out"] == nxt["rows_in"]
+        assert prev["rows_in"] - prev["dropped"] == prev["rows_out"]
+    assert lineage[-1]["rows_out"] == summary["kept"]
+    assert sum(s["dropped"] for s in lineage) == summary["dropped"]
+    # the synthetic table's exact dups must show up at their stage
+    assert {s["stage"]: s for s in lineage}["exact_dedup"]["dropped"] > 0
+
+
+def test_cli_curate_baseline_snapshot_and_zero_drift(tmp_path, spark):
+    """--save-baseline writes the kept-corpus profile; a second run over
+    the IDENTICAL input scored with --baseline reports zero drift (ks=0,
+    chi2=0, same row counts) for every profiled column."""
+    base = str(tmp_path / "baseline_snapshot")
+    out1 = str(tmp_path / "cur_b1")
+    rc = main(["curate", "--synthetic", "2000", "--output", out1,
+               "--save-baseline", base, "--cores", "4"])
+    assert rc == 0
+    s1 = json.load(open(f"{out1}/summary.json"))
+    assert s1["baseline_written"] == base
+
+    out2 = str(tmp_path / "cur_b2")
+    rc = main(["curate", "--synthetic", "2000", "--output", out2,
+               "--baseline", base, "--cores", "4"])
+    assert rc == 0
+    s2 = json.load(open(f"{out2}/summary.json"))
+    drift = s2["baseline_drift"]
+    assert set(drift) == {"content_len", "n_tokens", "n_lines"}
+    for col, d in drift.items():
+        assert d["ks"] == 0.0, (col, d)
+        assert d["chi2"] == 0.0, (col, d)
+        assert d["n_current"] == d["n_baseline"] == s2["kept"]
+        assert abs(d["mean_current"] - d["mean_baseline"]) < 1e-9
+
+
+def test_cli_curate_baseline_detects_shift(tmp_path, spark):
+    """A genuinely different corpus (every doc doubled in length) scores
+    nonzero KS against the snapshot — the upstream-change alarm."""
+    from pyspark.sql import functions as F
+
+    from faang_pydantics_validation_spark import fixtures
+
+    src1 = str(tmp_path / "src1")
+    fixtures.code_files(spark, 1500).write.mode("overwrite").parquet(src1)
+    src2 = str(tmp_path / "src2")
+    (
+        fixtures.code_files(spark, 1500)
+        .withColumn("content", F.concat("content", F.lit("\n"), "content"))
+        .write.mode("overwrite")
+        .parquet(src2)
+    )
+    base = str(tmp_path / "snap")
+    assert main(["curate", "--input", src1, "--output",
+                 str(tmp_path / "o1"), "--save-baseline", base,
+                 "--cores", "4"]) == 0
+    out2 = str(tmp_path / "o2")
+    assert main(["curate", "--input", src2, "--output", out2,
+                 "--baseline", base, "--cores", "4"]) == 0
+    drift = json.load(open(f"{out2}/summary.json"))["baseline_drift"]
+    assert drift["content_len"]["ks"] > 0.3, drift
