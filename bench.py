@@ -24,8 +24,9 @@ SPARK_GRAFT_BENCH_SCALING_RUNS / _TARGET / _BUDGET (adaptive
 alternating rounds — see the comment in main), SPARK_GRAFT_BENCH_IVF=0
 to skip the IVF crossover, SPARK_GRAFT_BENCH_IVF_* for its sizes,
 SPARK_GRAFT_BENCH_PIPELINE=0 to skip the composed curate-pipeline
-block, SPARK_GRAFT_BENCH_PIPELINE_ROWS (default 4 × BENCH_ROWS) for
-its input size.
+block, SPARK_GRAFT_BENCH_PIPELINE_ROWS (default BENCH_ROWS — the
+chain is ~10× heavier per row than the validation pass) for its
+input size.
 """
 
 from __future__ import annotations
@@ -485,11 +486,16 @@ def main() -> None:
         }
 
     # composed-pipeline block runs between the scaling pair and the main
-    # session (no active-session conflicts; curate owns its sessions)
+    # session (no active-session conflicts; curate owns its sessions).
+    # Default size = n_rows, NOT a multiple: the chain is ~10× heavier
+    # per row than the validation pass (the 2-core leg at 1M already
+    # runs hundreds of seconds — far past the ≥60 s compute floor the
+    # efficiency measurement needs), so scaling it like the validation
+    # pair would put the whole bench past any per-round budget.
     pipeline = None
     if os.environ.get("SPARK_GRAFT_BENCH_PIPELINE", "1") != "0":
         pipeline_rows = int(
-            os.environ.get("SPARK_GRAFT_BENCH_PIPELINE_ROWS", str(4 * n_rows))
+            os.environ.get("SPARK_GRAFT_BENCH_PIPELINE_ROWS", str(n_rows))
         )
         pipeline = pipeline_e2e_block(pipeline_rows, small, big, shuffle)
 
