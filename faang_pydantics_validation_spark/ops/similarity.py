@@ -417,6 +417,107 @@ def select_ivf_centroids(
     return centroids
 
 
+def train_ivf_centroids(
+    df: DataFrame,
+    n_cells: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_iters: int = 0,
+    cell_col: str = "cell",
+    centroid_vec_col: str = "centroid",
+) -> DataFrame:
+    """Fully DISTRIBUTED Lloyd training: same seeding and refinement
+    semantics as :func:`select_ivf_centroids`, but the centroid table
+    stays a DataFrame end-to-end — nothing centroid- or corpus-sized
+    ever reaches the driver, so training scales past the point where
+    the literal trainer's per-iteration ``n_cells × dim`` collect
+    (~190 MB/iter at √(10⁹) cells × 768 dims) becomes the bottleneck.
+
+    Per refinement iteration:
+
+    * assignment — :func:`ivf_assign` on the DataFrame path: centroids
+      reach every corpus row via the single-row broadcast join and the
+      argmax-cosine fold is row-local; the corpus never shuffles;
+    * means — ``posexplode`` the assigned vectors and average per
+      (cell, position), then reassemble each mean vector with a
+      position-sorted ``collect_list``. Both aggregations partial+final:
+      the exchanges carry ``n_cells × dim`` rows of (cell, pos, partial
+      avg) — independent of corpus size — and hot cells (the skew analog
+      of hot repos) are pre-combined map-side;
+    * empty cells keep their previous centroid (left join + coalesce),
+      matching the literal trainer;
+    * the new centroid table is ``localCheckpoint``-ed: each iteration
+      materializes n_cells rows on executors (exactly like persisting
+      the index artifact in production) instead of folding a growing
+      multi-scan plan — and instead of the literal trainer's
+      driver round-trip.
+
+    Returns the ``(cell int, centroid array<double>)`` DataFrame that
+    :func:`ivf_assign` / :func:`cosine_topk_ivf` take directly.
+    Numerically this matches :func:`select_ivf_centroids` up to
+    floating-point reassociation in the means (different partial-agg
+    grouping), ~1e-12 — parity is pinned in
+    tests/test_ops.py::test_train_ivf_centroids_matches_literal_trainer.
+    """
+    import math
+
+    if n_cells is None:
+        n_cells = max(16, math.isqrt(df.count()))
+    order = [F.xxhash64(F.col("__id")), F.col("__id")]
+    centroids = (
+        df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        .orderBy(*order)
+        .limit(n_cells)
+        # n_cells rows in one window partition — index-sized, by design
+        .withColumn("__rn", F.row_number().over(Window.orderBy(*order)))
+        .select(
+            (F.col("__rn") - 1).alias(cell_col),
+            F.col("__v").cast("array<double>").alias(centroid_vec_col),
+        )
+    )
+    for _ in range(refine_iters):
+        assigned = ivf_assign(
+            df,
+            centroids,
+            id_col,
+            vec_col,
+            cell_col="__cell",
+            centroid_cell_col=cell_col,
+            centroid_vec_col=centroid_vec_col,
+        )
+        means = (
+            assigned.select(
+                "__cell",
+                F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+                    "__pos", "__val"
+                ),
+            )
+            .groupBy("__cell", "__pos")
+            .agg(F.avg("__val").alias("__m"))
+            .groupBy("__cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("__pos", "__m"))
+                ).alias("__pm")
+            )
+            .select(
+                F.col("__cell").alias(cell_col),
+                F.transform(F.col("__pm"), lambda s: s["__m"]).alias("__new"),
+            )
+        )
+        centroids = (
+            centroids.join(means, cell_col, "left")
+            .select(
+                cell_col,
+                F.coalesce(F.col("__new"), F.col(centroid_vec_col)).alias(
+                    centroid_vec_col
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return centroids
+
+
 def cosine_topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,

@@ -616,6 +616,39 @@ def test_centroid_seeding_plans_as_takeordered(spark, vectors):
     assert "rangepartitioning" not in plan.lower(), plan
 
 
+def test_train_ivf_centroids_matches_literal_trainer(spark, vectors):
+    """The distributed trainer (centroids stay a DataFrame; means via
+    posexplode partial+final aggs; NO driver collect of anything
+    centroid-sized) must reproduce select_ivf_centroids — same cell ids,
+    same vectors up to float reassociation (~1e-12) — including the
+    empty-cell keep-seed branch, and its output must feed
+    cosine_topk_ivf directly."""
+    lit_c = sim.select_ivf_centroids(vectors, n_cells=5, refine_iters=2)
+    df_c = sim.train_ivf_centroids(vectors, n_cells=5, refine_iters=2)
+    got = {int(r["cell"]): list(r["centroid"]) for r in df_c.collect()}
+    assert sorted(got) == [cid for cid, _ in lit_c]
+    for cid, vec in lit_c:
+        assert got[cid] == pytest.approx(vec, abs=1e-9)
+
+    # refine_iters=0 ⇒ pure seeds: bit-identical to the literal seeding
+    seeds_lit = sim.select_ivf_centroids(vectors, n_cells=5)
+    seeds_df = {
+        int(r["cell"]): list(r["centroid"])
+        for r in sim.train_ivf_centroids(vectors, n_cells=5).collect()
+    }
+    for cid, vec in seeds_lit:
+        assert seeds_df[cid] == pytest.approx(vec, abs=0.0)
+
+    # the trained table plugs straight into the query path
+    qs = vectors.filter(F.col("vec_id") < 2)
+    out = sim.cosine_topk_ivf(vectors, qs, df_c, k=3, nprobe=5).collect()
+    ref = sim.cosine_topk_ivf(vectors, qs, lit_c, k=3, nprobe=5).collect()
+    key = lambda r: (r.query_id, r.rank)
+    assert sorted(
+        [(r.query_id, r.rank, r.neighbor_id) for r in out]
+    ) == sorted([(r.query_id, r.rank, r.neighbor_id) for r in ref])
+
+
 def test_multimodal_resize(spark):
     """Resize plumbing: 1:1 row shape, payload replaced, meta rewritten
     to the target dims, mime preserved; unregistered modality raises the
