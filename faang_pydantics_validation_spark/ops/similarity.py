@@ -45,6 +45,17 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
+def cosine_pre(dot_ab: Column, norm_a: Column, norm_b: Column) -> Column:
+    """:func:`cosine` with the two norm folds HOISTED: every pairwise
+    scorer in this module computes each side's norm once per ROW (in
+    the projection before the join) instead of once per candidate PAIR
+    inside the score expression — per-pair work drops from 3 array
+    folds to 1. Bit-identical to :func:`cosine`: the hoisted norms are
+    the same left→right folds over the same doubles, evaluated earlier."""
+    denom = norm_a * norm_b
+    return F.when(denom > 0, dot_ab / denom).otherwise(F.lit(0.0))
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -61,16 +72,24 @@ def cosine_topk(
     """
     q = F.broadcast(
         queries.select(
-            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("__qvec"),
+            norm(F.col(vec_col)).alias("__qnorm"),
         )
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        norm(F.col(vec_col)).alias("__cnorm"),
     )
     scored = c.crossJoin(q).select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("__qvec"), F.col("__cvec")).alias("score"),
+        cosine_pre(
+            dot(F.col("__qvec"), F.col("__cvec")),
+            F.col("__qnorm"),
+            F.col("__cnorm"),
+        ).alias("score"),
     )
     if exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
@@ -213,16 +232,22 @@ def cosine_topk_lsh(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
+        norm(F.col(vec_col)).alias("__cnorm"),
         lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
     )
     q = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("query_id"),
             F.col(vec_col).alias("__qvec"),
+            norm(F.col(vec_col)).alias("__qnorm"),
             lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
         )
     )
-    raw = cosine(F.col("__qvec"), F.col("__cvec"))
+    raw = cosine_pre(
+        dot(F.col("__qvec"), F.col("__cvec")),
+        F.col("__qnorm"),
+        F.col("__cnorm"),
+    )
     scored = c.join(q, "bucket").select(
         "query_id",
         "neighbor_id",
@@ -240,12 +265,27 @@ def cosine_topk_lsh(
     )
 
 
+def _pynorm(vec: list[float]) -> float:
+    """Driver-side twin of :func:`norm`: the same left→right
+    sum-of-squares fold over doubles, so a literal centroid's baked-in
+    norm is bit-identical to what the JVM fold would compute."""
+    import math
+
+    acc = 0.0
+    for x in vec:
+        xd = float(x)
+        acc = acc + xd * xd
+    return math.sqrt(acc)
+
+
 def _centroid_literal(centroids: list[tuple[int, list[float]]]):
     """(cell_id, vector) centroid table as ONE literal array of structs
     (ndarray literals — see lsh_bucket). cell_id is negated inside the
     struct so array_max / reverse(array_sort(...)) break score ties
     toward the SMALLEST cell id, matching SQL's ORDER BY score DESC,
-    cell_id ASC."""
+    cell_id ASC. Each struct carries the centroid's precomputed norm so
+    scoring a row against n_cells centroids folds each centroid array
+    once (the dot), not three times."""
     import numpy as np
 
     return F.array(
@@ -253,19 +293,29 @@ def _centroid_literal(centroids: list[tuple[int, list[float]]]):
             F.struct(
                 F.lit(-cid).alias("nc"),
                 F.lit(np.asarray(vec, dtype="float64")).alias("c"),
+                F.lit(_pynorm(vec)).alias("nrm"),
             )
             for cid, vec in centroids
         ]
     )
 
 
-def _cell_scores(vec: Column, cents: Column) -> Column:
+def _cell_scores(
+    vec: Column, cents: Column, vnorm: Column | None = None
+) -> Column:
     """array<struct<score, nc>> — rounded cosine against every centroid,
-    shaped so struct ordering = (score, then smaller cell first)."""
+    shaped so struct ordering = (score, then smaller cell first).
+    Centroid norms ride precomputed in the struct (``nrm``); pass
+    ``vnorm`` (the row vector's norm, hoisted into a column) so the
+    per-centroid work is ONE dot fold — without it the row norm is
+    re-folded once per centroid."""
+    vn = norm(vec) if vnorm is None else vnorm
     return F.transform(
         cents,
         lambda s: F.struct(
-            F.round(cosine(vec, s["c"]), 6).alias("score"),
+            F.round(cosine_pre(dot(vec, s["c"]), vn, s["nrm"]), 6).alias(
+                "score"
+            ),
             s["nc"].alias("nc"),
         ),
     )
@@ -317,6 +367,7 @@ def _broadcast_centroid_row(
         F.struct(
             (-F.col(cell_col)).cast("int").alias("nc"),
             F.col(vec_col).cast("array<double>").alias("c"),
+            norm(F.col(vec_col).cast("array<double>")).alias("nrm"),
         ).alias("s")
     ).agg(F.collect_list("s").alias("__cents"))
     return F.broadcast(row)
@@ -348,16 +399,23 @@ def ivf_assign(
         if len(centroids) * dim > IVF_LITERAL_MAX_FLOATS:
             centroids = centroids_table(df.sparkSession, centroids)
     if isinstance(centroids, DataFrame):
-        staged = df.crossJoin(
+        staged = df.withColumn("__vnorm", norm(F.col(vec_col))).crossJoin(
             _broadcast_centroid_row(
                 centroids, centroid_cell_col, centroid_vec_col
             )
         )
-        best = F.array_max(_cell_scores(F.col(vec_col), F.col("__cents")))
-        return staged.withColumn(cell_col, -best["nc"]).drop("__cents")
+        best = F.array_max(
+            _cell_scores(F.col(vec_col), F.col("__cents"), F.col("__vnorm"))
+        )
+        return (
+            staged.withColumn(cell_col, -best["nc"])
+            .drop("__cents")
+            .drop("__vnorm")
+        )
     cents = _centroid_literal(centroids)
-    best = F.array_max(_cell_scores(F.col(vec_col), cents))
-    return df.withColumn(cell_col, -best["nc"])
+    staged = df.withColumn("__vnorm", norm(F.col(vec_col)))
+    best = F.array_max(_cell_scores(F.col(vec_col), cents, F.col("__vnorm")))
+    return staged.withColumn(cell_col, -best["nc"]).drop("__vnorm")
 
 
 def select_ivf_centroids(
@@ -588,25 +646,44 @@ def cosine_topk_ivf(
     c = assigned.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
+        norm(F.col(vec_col)).alias("__cnorm"),
         F.col("cell"),
     )
     # per-query probe list: nprobe best cells, row-local sort of the
-    # (score, nc) structs — reverse(asc) = score desc, cell asc on ties
-    probes = probe_src.select(
+    # (score, nc) structs — reverse(asc) = score desc, cell asc on ties;
+    # the query norm is hoisted once per QUERY row (before the probe
+    # explode) and reused by both cell scoring and candidate scoring
+    probes = probe_src.withColumn(
+        "__qnorm", norm(F.col(vec_col))
+    ).select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
+        F.col("__qnorm"),
         F.explode(
             F.slice(
-                F.reverse(F.array_sort(_cell_scores(F.col(vec_col), cents))),
+                F.reverse(
+                    F.array_sort(
+                        _cell_scores(F.col(vec_col), cents, F.col("__qnorm"))
+                    )
+                ),
                 1,
                 nprobe,
             )
         ).alias("__probe"),
-    ).select("query_id", "__qvec", (-F.col("__probe.nc")).alias("cell"))
+    ).select(
+        "query_id", "__qvec", "__qnorm", (-F.col("__probe.nc")).alias("cell")
+    )
     scored = c.join(F.broadcast(probes), "cell").select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6).alias("score"),
+        F.round(
+            cosine_pre(
+                dot(F.col("__qvec"), F.col("__cvec")),
+                F.col("__qnorm"),
+                F.col("__cnorm"),
+            ),
+            6,
+        ).alias("score"),
     )
     if exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
@@ -668,13 +745,18 @@ def embedding_near_dup_pairs(
             .filter(F.col("__bsize") <= max_bucket_size)
             .drop("__bsize")
         )
+    h = h.withColumn("__nrm", norm(F.col("__vec")))
     left, right = h.alias("l"), h.alias("r")
     pairs = left.join(
         right,
         on=(F.col("l.bucket") == F.col("r.bucket"))
         & (F.col("l.doc_id") < F.col("r.doc_id")),
     )
-    raw = cosine(F.col("l.__vec"), F.col("r.__vec"))
+    raw = cosine_pre(
+        dot(F.col("l.__vec"), F.col("r.__vec")),
+        F.col("l.__nrm"),
+        F.col("r.__nrm"),
+    )
     pairs = pairs.select(
         F.col("l.doc_id").alias("id_a"),
         F.col("r.doc_id").alias("id_b"),
