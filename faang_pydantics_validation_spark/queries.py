@@ -1244,17 +1244,30 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     q = F.broadcast(
         emb.filter(F.col("vec_id") % 50 == 0).select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            sim.norm(F.col("embedding")).alias("qn"),
         )
     )
     scored = (
-        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("cv"),
+            sim.norm(F.col("embedding")).alias("cn"),
+        )
         .crossJoin(q)
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(sim.cosine(F.col("qv"), F.col("cv")), 6).alias("score"),
+            F.round(
+                sim.cosine_pre(
+                    sim.dot(F.col("qv"), F.col("cv")),
+                    F.col("qn"),
+                    F.col("cn"),
+                ),
+                6,
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
