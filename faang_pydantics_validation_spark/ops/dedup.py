@@ -80,9 +80,16 @@ def word_shingles(text: Column, k: int = 3) -> Column:
 
 
 def jaccard(shingles_a: Column, shingles_b: Column) -> Column:
-    """Exact Jaccard similarity of two distinct-element arrays."""
+    """Exact Jaccard similarity of two distinct-element arrays.
+
+    The union COUNT is |A| + |B| − |A∩B| (inclusion-exclusion over
+    distinct arrays): two O(1) length lookups instead of
+    ``array_union``'s per-pair hash-set build and array
+    materialization — only the intersect walks the arrays. Identical
+    counts, identical NULL/empty semantics (NULL input ⇒ NULL sizes ⇒
+    the ``when`` falls through to 0.0, as before)."""
     inter = F.size(F.array_intersect(shingles_a, shingles_b))
-    union = F.size(F.array_union(shingles_a, shingles_b))
+    union = F.size(shingles_a) + F.size(shingles_b) - inter
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
