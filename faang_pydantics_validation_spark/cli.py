@@ -267,18 +267,28 @@ CURATE_STAGES: tuple[tuple[int, str], ...] = (
 
 
 def _reason_stage(reason):
-    """Column expr: drop-reason string → stage ordinal (CURATE_STAGES)."""
+    """Column expr: drop-reason string → stage ordinal (CURATE_STAGES).
+    Quality rule ids match the EXPORTED closed set, not a catch-all: a
+    reason this map doesn't recognize (a renamed stage, a new rule that
+    forgot to register) books to ordinal 0, which the lineage builder
+    surfaces as an explicit ``unknown_reason`` stage instead of silently
+    attributing the drop to quality."""
     from pyspark.sql import functions as F
 
+    from faang_pydantics_validation_spark.ops.code import (
+        CODE_QUALITY_RULE_IDS,
+    )
+
     return (
-        F.when(reason == "secrets", 2)
+        F.when(reason.isin(*CODE_QUALITY_RULE_IDS), 1)
+        .when(reason == "secrets", 2)
         .when(reason.startswith("rep_"), 3)
         .when(reason == "restrictive_license", 4)
         .when(reason == "exact_dup", 5)
         .when(reason == "near_dup", 6)
         .when(reason == "contaminated", 7)
         .when(reason == "mixture", 8)
-        .otherwise(1)  # the code-quality rule ids (long_lines, ...)
+        .otherwise(0)
     )
 
 
@@ -434,6 +444,20 @@ def cmd_curate(args) -> int:
                 "--decontaminate table must have columns (probe_id, text);"
                 f" got {probes.columns}"
             )
+        # probes below the n-gram width yield ZERO n-grams and can never
+        # match — silently skipping part of the eval set is the one
+        # failure a decontamination stage must not hide (probe tables
+        # are benchmark-sized, so this count costs one tiny agg)
+        n_short = probes.filter(
+            F.size(F.split(F.trim(F.col("text")), r"\s+")) < 8
+        ).count()
+        if n_short:
+            print(
+                f"warning: {n_short} probe(s) shorter than the 8-token"
+                " n-gram width are UNCHECKABLE by n-gram containment and"
+                " were not used for decontamination",
+                file=sys.stderr,
+            )
         survivors = curated.filter("kept").select("record_id", "content")
         hits = (
             contamination_matches(
@@ -582,6 +606,19 @@ def cmd_curate(args) -> int:
     if args.mixture:
         active.add(8)
     lineage, running = [], rows_in
+    unknown = stage_drops.pop(0, 0)
+    if unknown:
+        # reasons no stage claims (see _reason_stage): keep the audit
+        # reconciling AND make the anomaly impossible to miss
+        lineage.append(
+            {
+                "stage": "unknown_reason",
+                "rows_in": running,
+                "dropped": unknown,
+                "rows_out": running - unknown,
+            }
+        )
+        running -= unknown
     for sid, stage_name in CURATE_STAGES:
         if sid not in active:
             continue
@@ -596,13 +633,14 @@ def cmd_curate(args) -> int:
         )
         running -= d
 
+    # wall_sec is stamped ONCE, just before summary.json is written, so
+    # it covers every stage incl. baseline scoring and packing
     summary = {
         "rows_in": rows_in,
         "kept": kept,
         "dropped": rows_in - kept,
         "drop_reason_counts": reason_counts,
         "stage_lineage": lineage,
-        "wall_sec": round(time.monotonic() - t0, 2),
     }
 
     if args.save_baseline or args.baseline:

@@ -84,6 +84,12 @@ def parse_jpeg_header(payload: bytes) -> dict[str, Any] | None:
         if marker == 0xFF:  # fill byte padding before a marker
             pos += 1
             continue
+        if marker == 0xD9:
+            # EOI before any SOF: no frame header exists. EOI is
+            # standalone — reading a "length" after it would walk into
+            # whatever bytes follow the stream (corrupt/truncated files)
+            # and could fabricate dimensions from garbage.
+            return None
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2  # standalone markers carry no length
             continue

@@ -2254,7 +2254,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # (exact grouped percentiles; the percentile sketch path stays
 # adjudicated through lm bucketing + stats_length_histogram) → now
 # repetition_filter, decontaminate, pack_sequences. The retired query
-# functions and their SQL remain importable and pytest-exercised.
+# functions and their SQL stay on the public surface with the SAME
+# hash-vs-DuckDB adjudication, driven from
+# tests/test_retired_queries.py instead of a registry slot.
 assert len(QUERIES) == 50, f"driver harvests 50 queries, got {len(QUERIES)}"
 
 ORACLE_SQL: dict[str, str] = {

@@ -67,6 +67,28 @@ def test_jpeg_skips_dht_like_markers():
     assert (hdr["width"], hdr["height"]) == (20, 10)
 
 
+def test_jpeg_eoi_before_sof_is_corrupt_not_fabricated():
+    """A truncated stream hitting EOI before any frame header must
+    return None. EOI is standalone: a parser that reads a 'length'
+    after it walks into trailing garbage and can land on an FF C0 pair,
+    fabricating dimensions from a corrupt payload."""
+    import struct
+
+    # EOI immediately, then garbage engineered so a length-read at EOI
+    # (\x00\x08 = skip 8) lands exactly on a fake SOF with "dimensions"
+    fake_sof = (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + struct.pack(">BHHB", 8, 99, 77, 3)
+        + b"\x01\x11\x00"
+    )
+    # "length" \x00\x08 means skip 8 bytes: next marker read lands at
+    # offset 2+2+8 = 12, exactly where the fake SOF begins
+    garbage = b"\x00\x08" + b"\xde\xad\xbe\xef\xca\xfe"
+    payload = b"\xff\xd8" + b"\xff\xd9" + garbage + fake_sof
+    assert cx.parse_jpeg_header(payload) is None
+
+
 def test_extract_features_decodes_real_image_bytes(spark):
     """The production seam, end to end: real PNG/JPEG/GIF bytes in a
     binary column, the header decoder installed through set_decoder,
