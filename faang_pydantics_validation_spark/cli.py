@@ -444,31 +444,49 @@ def cmd_curate(args) -> int:
                 "--decontaminate table must have columns (probe_id, text);"
                 f" got {probes.columns}"
             )
-        # probes below the n-gram width yield ZERO n-grams and can never
-        # match — silently skipping part of the eval set is the one
-        # failure a decontamination stage must not hide (probe tables
-        # are benchmark-sized, so this count costs one tiny agg)
-        n_short = probes.filter(
-            F.size(F.split(F.trim(F.col("text")), r"\s+")) < 8
-        ).count()
+        # probes below the n-gram width yield ZERO n-grams and are
+        # invisible to the containment scan — screen them by
+        # whitespace-normalized exact-substring containment instead
+        # (the published fallback for short eval strings; see
+        # ops/text.decontaminate). Probe tables are benchmark-sized, so
+        # the count gating the extra pass costs one tiny agg.
+        pnorm = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+        short_probes = (
+            probes.select(pnorm.alias("__pnorm"))
+            .filter(
+                (F.size(F.split(F.col("__pnorm"), " ")) < 8)
+                & (F.length(F.col("__pnorm")) > 0)
+            )
+            .distinct()
+        )
+        n_short = short_probes.count()
         if n_short:
             print(
-                f"warning: {n_short} probe(s) shorter than the 8-token"
-                " n-gram width are UNCHECKABLE by n-gram containment and"
-                " were not used for decontamination",
+                f"note: {n_short} probe(s) shorter than the 8-token"
+                " n-gram width screened by exact-substring containment"
+                " instead",
                 file=sys.stderr,
             )
         survivors = curated.filter("kept").select("record_id", "content")
-        hits = (
-            contamination_matches(
-                survivors,
-                probes,
-                id_col="record_id",
-                text_col="content",
-                min_containment=args.decontaminate_containment,
+        hits = contamination_matches(
+            survivors,
+            probes,
+            id_col="record_id",
+            text_col="content",
+            min_containment=args.decontaminate_containment,
+        ).select("record_id")
+        if n_short:
+            dnorm = F.regexp_replace(F.trim(F.col("content")), r"\s+", " ")
+            hits = hits.union(
+                survivors.select("record_id", dnorm.alias("__dnorm"))
+                .join(
+                    F.broadcast(short_probes),
+                    F.col("__dnorm").contains(F.col("__pnorm")),
+                )
+                .select("record_id")
             )
-            .select("record_id")
-            .distinct()
+        hits = (
+            hits.distinct()
             # benchmark-sized; materialize once instead of re-running the
             # n-gram containment scan on every downstream reference
             .localCheckpoint(eager=True)

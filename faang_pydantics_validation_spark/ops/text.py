@@ -981,6 +981,7 @@ def decontaminate(
     probe_text_col: str = "text",
     n: int = 8,
     min_containment: float = 0.8,
+    short_probe_mode: str = "substring",
 ) -> DataFrame:
     """The action half of :func:`contamination_matches`: DROP every
     corpus document containing any probe (eval example) at containment
@@ -988,10 +989,23 @@ def decontaminate(
     operating point; the scan's 0.5 default is for AUDITING, where you
     want to see near-misses).
 
+    Probes SHORTER than the ``n``-gram width yield zero n-grams and are
+    invisible to the containment scan — the one failure a
+    decontamination stage must not hide (QA benchmarks are full of
+    sub-8-token answers). ``short_probe_mode="substring"`` (default)
+    screens them by whitespace-normalized exact-substring containment,
+    the published fallback for short eval strings; ``"skip"`` restores
+    n-gram-only semantics (callers then own the screening). Empty /
+    whitespace-only probes are ignored in either mode (an empty
+    substring would match everything).
+
     One LEFT ANTI join of the corpus against the distinct contaminated
     doc-id set — the id set is benchmark-match-sized (small), so Spark
     broadcasts it and the corpus still never shuffles end-to-end:
-    probe-side broadcast for the scan, id-set broadcast for the drop.
+    probe-side broadcast for the scan, the short-probe set broadcast
+    for a row-local nested-loop contains check (only when short probes
+    EXIST — a tiny count of the probe table gates the branch, so the
+    common all-long case pays nothing), id-set broadcast for the drop.
     Returns the corpus rows unchanged minus contaminated docs.
     """
     from pyspark.sql.functions import broadcast
@@ -1006,6 +1020,41 @@ def decontaminate(
         n=n,
         min_containment=min_containment,
     ).select(id_col).distinct()
+    if short_probe_mode == "substring":
+        pnorm = F.regexp_replace(
+            F.trim(F.col(probe_text_col)), r"\s+", " "
+        )
+        shorts = (
+            probes.select(pnorm.alias("__pnorm"))
+            .filter(
+                (F.size(F.split(F.col("__pnorm"), " ")) < n)
+                & (F.length(F.col("__pnorm")) > 0)
+            )
+            .distinct()
+        )
+        # probe tables are benchmark-sized by contract (they broadcast
+        # for the scan above), so this count is trivially cheap — and it
+        # keeps the per-row normalize+contains pass out of the plan
+        # entirely when every probe is n-gram-checkable
+        if shorts.count() > 0:
+            dnorm = F.regexp_replace(
+                F.trim(F.col(text_col)), r"\s+", " "
+            )
+            short_hits = (
+                corpus.select(F.col(id_col), dnorm.alias("__dnorm"))
+                .join(
+                    broadcast(shorts),
+                    F.col("__dnorm").contains(F.col("__pnorm")),
+                )
+                .select(id_col)
+                .distinct()
+            )
+            hits = hits.union(short_hits).distinct()
+    elif short_probe_mode != "skip":
+        raise ValueError(
+            f"short_probe_mode must be 'substring' or 'skip',"
+            f" got {short_probe_mode!r}"
+        )
     return corpus.join(broadcast(hits), id_col, "left_anti")
 
 

@@ -358,6 +358,41 @@ def test_cli_curate_decontaminate_flag(tmp_path, spark):
     assert stages["decontaminate"]["dropped"] == 1
 
 
+def test_cli_curate_decontaminate_short_probe_substring(tmp_path, spark):
+    """A probe below the 8-token n-gram width must still decontaminate —
+    screened by whitespace-normalized exact-substring containment — and
+    reconcile through the same 'contaminated' audit reason."""
+    short_probe = "secret eval answer token"
+    body = "".join(
+        f"def helper_{j}(value_{j}):\n    return value_{j} * {j} + 1\n"
+        for j in range(10)
+    )
+    rows = [
+        ("org/a", "src/contaminated.py", "a" * 40, "python",
+         body + f"# {short_probe}\n"),
+        ("org/a", "src/clean.py", "b" * 40, "python",
+         body + "# an ordinary trailing comment\n"),
+    ]
+    src = str(tmp_path / "src_sp")
+    spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    ).write.mode("overwrite").parquet(src)
+    probes = str(tmp_path / "probes_sp")
+    spark.createDataFrame(
+        [("p1", short_probe)], "probe_id string, text string"
+    ).write.mode("overwrite").parquet(probes)
+
+    out_dir = str(tmp_path / "cur_sp")
+    rc = main(["curate", "--input", src, "--output", out_dir,
+               "--decontaminate", probes, "--cores", "4"])
+    assert rc == 0
+    summary = json.load(open(f"{out_dir}/summary.json"))
+    assert summary["drop_reason_counts"].get("contaminated", 0) == 1, summary
+    cur = spark.read.parquet(f"{out_dir}/curated")
+    kept_paths = {r.path for r in cur.filter("kept").collect()}
+    assert kept_paths == {"src/clean.py"}
+
+
 def test_cli_curate_decontaminate_bad_probe_schema(tmp_path, spark):
     src = str(tmp_path / "src_bad")
     spark.createDataFrame(

@@ -1245,6 +1245,39 @@ def test_decontaminate_drops_only_contaminated(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_decontaminate_short_probes_by_substring(spark):
+    """Probes below the n-gram width are invisible to containment; the
+    default substring fallback must catch them (whitespace-normalized),
+    ignore empty probes, and stay off under short_probe_mode='skip'."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "the answer is   Paris\tobviously, everyone knows"),
+            (2, "a completely unrelated training document body"),
+            (3, "paris in lowercase should NOT match case-sensitively"),
+        ],
+        "doc_id int, text string",
+    )
+    probes = spark.createDataFrame(
+        [(1, "answer is Paris"), (2, "   "), (3, "")],
+        "probe_id int, text string",
+    )
+    # doc 1 contains the 3-token probe modulo whitespace runs; empty /
+    # whitespace probes must not nuke the corpus
+    kept = {r.doc_id for r in tx.decontaminate(corpus, probes, n=8).collect()}
+    assert kept == {2, 3}
+    kept_skip = {
+        r.doc_id
+        for r in tx.decontaminate(
+            corpus, probes, n=8, short_probe_mode="skip"
+        ).collect()
+    }
+    assert kept_skip == {1, 2, 3}  # n-gram-only: short probes unseen
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        tx.decontaminate(corpus, probes, n=8, short_probe_mode="bogus")
+
+
 def test_clean_lines_c4_rules(spark):
     doc = "\n".join([
         "This is a real sentence that survives cleaning.",   # kept
