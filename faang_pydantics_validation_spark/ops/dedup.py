@@ -12,6 +12,11 @@ pipeline runs:
 4. SimHash      — 64-bit fingerprints, banded for candidate generation,
                   verified by Hamming distance (F.bit_count).
 
+Plus one SUB-document tier: corpus-level line dedup (CCNet/RefinedWeb
+"remove lines repeated across documents"), which rewrites payloads
+instead of dropping rows — boilerplate that document-level dedup can
+never see.
+
 Everything is native Column expressions (xxhash64 / transform / aggregate
 folds) — no Python UDFs anywhere, so each stage is whole-stage-codegen'd
 and the only shuffles are the band-bucket groupBys/joins on bounded keys.
@@ -543,3 +548,103 @@ def drop_duplicate_components(
         F.col("doc_id").alias("__loser_id")
     )
     return df.join(losers, df[id_col] == F.col("__loser_id"), "left_anti")
+
+
+# ------------------------------------------------- corpus-level line dedup --
+
+
+def dedup_lines_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_docs: int = 2,
+    min_line_chars: int = 10,
+    out_col: str = "text_line_deduped",
+) -> DataFrame:
+    """Remove lines whose whitespace-normalized form appears in at least
+    ``min_docs`` DISTINCT documents — the line/paragraph-level exact
+    dedup of CCNet (Wenzek et al. 2020, "paragraph-level" = line-level
+    in their corpus) and RefinedWeb (Penedo et al. 2023), which strips
+    cross-document boilerplate (license headers, nav bars, cookie
+    banners) that document-level dedup can never see.
+
+    Matching is on ``trim`` + collapsed internal whitespace, so
+    indentation variants of the same boilerplate line merge; lines
+    shorter than ``min_line_chars`` after normalization are never
+    candidates (otherwise ``}`` and ``*/`` would vanish from every
+    file). A line repeated many times inside ONE document is kept —
+    that is :func:`~faang_pydantics_validation_spark.ops.text.
+    repetition_metrics`'s job, not corpus dedup's. All occurrences of a
+    repeated line are removed, including the first.
+
+    Appends ``out_col`` (kept lines re-joined; NULL text stays NULL;
+    a fully-boilerplate doc becomes the empty string) and
+    ``n_lines_deduped``. Every other column passes through.
+
+    Plan shape, sized for 10^12 files:
+
+    * the exploded side carries ``(id, pos, xxhash64(norm))`` — 8-byte
+      line keys, never the payload;
+    * repeated-line discovery is ONE count-distinct agg on the line
+      hash (partial aggregation collapses the Zipf head of boilerplate
+      map-side, so the exchange carries per-task distinct lines);
+    * the repeated-hash set joins back LEFT SEMI (benchmark: boilerplate
+      vocabularies are tiny next to the corpus — AQE broadcasts it);
+    * per-doc removed positions reduce to one array per affected doc,
+      and the final LEFT join back to ``df`` on ``id_col`` is the one
+      unavoidable id-keyed reshard — the same shape as CCNet's
+      reshard-by-bucket in ``lm_perplexity_buckets``. The rebuild
+      itself (indexed ``filter`` + ``concat_ws``) is row-local.
+
+    64-bit line-hash collisions merge distinct normalized lines at
+    ~m^2/2^64 for m distinct lines corpus-wide — the standard trade;
+    the pytest mirror pins semantics against exact string grouping.
+    """
+    lines_arr = F.split(F.col(text_col), r"\n")
+    norm = F.regexp_replace(F.trim(F.col("__ldc_line")), r"\s+", " ")
+    cand = (
+        df.select(
+            F.col(id_col).alias("__ldc_id"),
+            F.posexplode(lines_arr).alias("__ldc_pos", "__ldc_line"),
+        )
+        .withColumn("__ldc_norm", norm)
+        .filter(F.length("__ldc_norm") >= min_line_chars)
+        .select(
+            "__ldc_id", "__ldc_pos", F.xxhash64("__ldc_norm").alias("__ldc_h")
+        )
+    )
+    repeated = (
+        cand.groupBy("__ldc_h")
+        .agg(F.count_distinct("__ldc_id").alias("__ldc_docs"))
+        .filter(F.col("__ldc_docs") >= min_docs)
+        .select("__ldc_h")
+    )
+    removed = (
+        cand.join(repeated, "__ldc_h", "left_semi")
+        .groupBy("__ldc_id")
+        .agg(F.sort_array(F.collect_list("__ldc_pos")).alias("__ldc_removed"))
+    )
+    rebuilt = F.when(
+        F.col("__ldc_removed").isNull(), F.col(text_col)
+    ).otherwise(
+        F.concat_ws(
+            "\n",
+            F.filter(
+                lines_arr,
+                lambda line, i: ~F.array_contains(F.col("__ldc_removed"), i),
+            ),
+        )
+    )
+    return (
+        df.join(removed, df[id_col] == removed["__ldc_id"], "left")
+        .withColumns(
+            {
+                out_col: F.when(F.col(text_col).isNotNull(), rebuilt),
+                "n_lines_deduped": F.coalesce(
+                    F.size("__ldc_removed"), F.lit(0)
+                ),
+            }
+        )
+        .drop("__ldc_id", "__ldc_removed")
+    )

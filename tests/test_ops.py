@@ -1312,3 +1312,100 @@ def test_clean_lines_plan_is_scan_local(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     plan = tx.clean_lines(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+# ------------------------------------------------- corpus-level line dedup --
+
+
+def test_dedup_lines_corpus_removes_cross_doc_boilerplate(spark):
+    header = "// Copyright 2020 The Example Authors. All rights reserved."
+    doc1 = "\n".join([header, "def alpha():", "    return 1", "}"])
+    # same header with different leading/internal whitespace — must merge
+    doc2 = "\n".join(["   //  Copyright 2020 The Example Authors. All rights reserved.",
+                      "def beta():", "    return 2", "}"])
+    doc3 = "\n".join([header, "unique third-doc line goes here"])
+    # intra-doc repetition only: 'local local repeated line' twice in ONE doc
+    doc4 = "\n".join(["local local repeated line", "local local repeated line"])
+    df = spark.createDataFrame(
+        [(1, doc1), (2, doc2), (3, doc3), (4, doc4), (5, None), (6, "")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in dd.dedup_lines_corpus(df).collect()}
+    # header removed from ALL THREE docs (all occurrences, incl. the first)
+    assert rows[1].text_line_deduped == "def alpha():\n    return 1\n}"
+    assert rows[2].text_line_deduped == "def beta():\n    return 2\n}"
+    assert rows[3].text_line_deduped == "unique third-doc line goes here"
+    assert (rows[1].n_lines_deduped, rows[2].n_lines_deduped,
+            rows[3].n_lines_deduped) == (1, 1, 1)
+    # short repeated line '}' survives (below min_line_chars)
+    assert rows[1].text_line_deduped.endswith("}")
+    # intra-doc repeats are NOT corpus dedup's job: one distinct doc
+    assert rows[4].text_line_deduped == doc4 and rows[4].n_lines_deduped == 0
+    # NULL and empty text pass through
+    assert rows[5].text_line_deduped is None and rows[5].n_lines_deduped == 0
+    assert rows[6].text_line_deduped == "" and rows[6].n_lines_deduped == 0
+
+
+def test_dedup_lines_corpus_min_docs_threshold_and_full_removal(spark):
+    shared = "this exact line appears in exactly two documents"
+    df = spark.createDataFrame(
+        [(1, shared), (2, shared), (3, "unique line that stays around")],
+        "doc_id long, text string",
+    )
+    # min_docs=3: two docs are not enough — nothing removed
+    kept = {r.doc_id: r for r in
+            dd.dedup_lines_corpus(df, min_docs=3).collect()}
+    assert all(r.n_lines_deduped == 0 for r in kept.values())
+    # min_docs=2 (default): both copies removed; fully-boilerplate docs
+    # become the empty string, not NULL
+    out = {r.doc_id: r for r in dd.dedup_lines_corpus(df).collect()}
+    assert out[1].text_line_deduped == "" and out[1].n_lines_deduped == 1
+    assert out[2].text_line_deduped == "" and out[2].n_lines_deduped == 1
+    assert out[3].text_line_deduped == "unique line that stays around"
+
+
+def test_dedup_lines_corpus_python_mirror(spark):
+    # seeded synthetic corpus over a small line vocabulary so repeats are
+    # guaranteed; mirror groups by EXACT normalized string (no hashing)
+    import re as _re
+
+    vocab = [f"vocabulary line number {i} with some padding text" for i in range(12)]
+    docs = []
+    for d in range(40):
+        lines = [vocab[(d * 7 + k * 5) % 12] for k in range(1 + d % 4)]
+        lines.append(f"unique-to-doc-{d} line that never repeats anywhere")
+        docs.append((d, "\n".join(lines)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.text_line_deduped, r.n_lines_deduped)
+           for r in dd.dedup_lines_corpus(df, min_docs=2).collect()}
+
+    def norm(s):
+        return _re.sub(r"\s+", " ", s.strip())
+
+    by_line = {}
+    for d, text in docs:
+        for ln in text.split("\n"):
+            n = norm(ln)
+            if len(n) >= 10:
+                by_line.setdefault(n, set()).add(d)
+    repeated = {n for n, ds in by_line.items() if len(ds) >= 2}
+    for d, text in docs:
+        keep = [ln for ln in text.split("\n")
+                if not (len(norm(ln)) >= 10 and norm(ln) in repeated)]
+        n_removed = len(text.split("\n")) - len(keep)
+        assert got[d] == ("\n".join(keep), n_removed), f"doc {d}"
+
+
+def test_dedup_lines_corpus_plan_no_python_and_partial_agg(spark):
+    import contextlib
+    import io
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        dd.dedup_lines_corpus(df).explain("formatted")
+    p = buf.getvalue()
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    # repeated-line discovery pre-aggregates map-side (Zipf head collapses
+    # before the exchange)
+    assert "partial_count" in p or "count(distinct" in p
