@@ -81,6 +81,22 @@ def _parse_mixture(spec: str) -> dict[str, float]:
     return weights
 
 
+def _min_docs(v: str) -> int:
+    """argparse ``type=`` validator for ``--line-dedup MIN_DOCS``."""
+    try:
+        iv = int(v)
+    except ValueError:
+        raise argparse.ArgumentTypeError(
+            f"MIN_DOCS must be an integer, got {v!r}"
+        ) from None
+    if iv < 2:
+        raise argparse.ArgumentTypeError(
+            f"MIN_DOCS must be >= 2 (a line in 1 document is not"
+            f" cross-document boilerplate), got {v!r}"
+        )
+    return iv
+
+
 def _build_session(args):
     from faang_pydantics_validation_spark.session import get_spark
 
@@ -313,6 +329,11 @@ def cmd_curate(args) -> int:
     (n-gram containment ≥ --decontaminate-containment): probes are
     broadcast for the scan and the contaminated-id set is broadcast for
     the mark, so the corpus never shuffles for this stage.
+    --line-dedup MIN_DOCS runs corpus-level line dedup FIRST
+    (ops/dedup.dedup_lines_corpus): lines repeated across >= MIN_DOCS
+    documents are stripped from every document before any verdict stage
+    — payloads are rewritten, rows never drop, and the per-row
+    `lines_deduped` count joins the written audit.
     --save-baseline / --baseline persist and score the kept-corpus
     numeric profile (ops/checks.baseline) — cross-run drift monitoring
     for a recurring ingest; scores land in summary.json.
@@ -335,6 +356,30 @@ def cmd_curate(args) -> int:
 
     t0 = time.monotonic()
     rid = F.concat_ws("@", F.concat_ws(":", "repo", "path"), "commit")
+    if args.line_dedup:
+        # corpus-level boilerplate line removal BEFORE any verdict stage
+        # (CCNet order: rewrite the payload first, then quality-score /
+        # dedup the cleaned text — shared license headers collapse to
+        # identical bodies that exact dedup can then see). Rows never
+        # drop here, so stage lineage is untouched; the per-row
+        # `lines_deduped` count lands in the written audit and the
+        # aggregate in summary.line_dedup.
+        from faang_pydantics_validation_spark.ops.dedup import (
+            dedup_lines_corpus,
+        )
+
+        df = (
+            dedup_lines_corpus(
+                df.withColumn("__ldc_rid", rid),
+                id_col="__ldc_rid",
+                text_col="content",
+                min_docs=args.line_dedup,
+                out_col="__ldc_out",
+            )
+            .withColumn("content", F.col("__ldc_out"))
+            .withColumnRenamed("n_lines_deduped", "lines_deduped")
+            .drop("__ldc_out", "__ldc_rid")
+        )
     ann = cd.code_quality_filter(df)
     ann = cd.scan_secrets(ann)
     ann = cd.detect_license(ann)
@@ -355,6 +400,7 @@ def cmd_curate(args) -> int:
         ).otherwise(base_reasons)
     staged = ann.select(
         "repo", "path", "commit", "lang", "content", "license_id",
+        *(["lines_deduped"] if args.line_dedup else []),
         rid.alias("record_id"),
         F.sha2(F.col("content"), 256).alias("content_sha"),
         base_reasons.alias("__base_reasons"),
@@ -661,6 +707,21 @@ def cmd_curate(args) -> int:
         "stage_lineage": lineage,
     }
 
+    if args.line_dedup:
+        # aggregate view of the payload-rewriting pre-stage, from the
+        # same written parquet the counters use (never a second input
+        # pass); rows_in/out are unchanged by design, so this lives
+        # beside stage_lineage rather than inside it
+        ld = out_df.agg(
+            F.sum("lines_deduped").alias("lines"),
+            F.count_if(F.col("lines_deduped") > 0).alias("docs"),
+        ).collect()[0]
+        summary["line_dedup"] = {
+            "min_docs": args.line_dedup,
+            "lines_removed": int(ld.lines or 0),
+            "docs_rewritten": int(ld.docs or 0),
+        }
+
     if args.save_baseline or args.baseline:
         # kept-corpus numeric profile (length/token/line distributions)
         # — the cross-run drift surface for a recurring ingest. Reads
@@ -799,6 +860,15 @@ def main(argv=None) -> int:
     pc.add_argument("--pack-groups", type=int, default=32)
     pc.add_argument("--neardup", action="store_true",
                     help="also drop MinHash near-dup components")
+    pc.add_argument(
+        "--line-dedup",
+        type=_min_docs,
+        default=None,
+        metavar="MIN_DOCS",
+        help="before any filter stage, remove lines repeated across"
+        " >= MIN_DOCS documents (corpus-level boilerplate removal;"
+        " rewrites content, never drops rows)",
+    )
     pc.add_argument("--require-permissive-license", action="store_true",
                     help="drop files with an identified non-permissive license")
     pc.add_argument(

@@ -484,3 +484,61 @@ def test_cli_curate_baseline_detects_shift(tmp_path, spark):
                  "--baseline", base, "--cores", "4"]) == 0
     drift = json.load(open(f"{out2}/summary.json"))["baseline_drift"]
     assert drift["content_len"]["ks"] > 0.3, drift
+
+
+def test_cli_curate_line_dedup_flag(tmp_path, spark):
+    """--line-dedup N strips cross-document boilerplate lines BEFORE the
+    filter stages: the shared header disappears from every kept file,
+    summary.line_dedup reports the aggregate, and row lineage is
+    untouched (the stage rewrites payloads, never drops rows)."""
+    header = "# Copyright 2021 MegaCorp Incorporated. All rights reserved."
+
+    def body(j):
+        return "".join(
+            f"def fn_{j}_{k}(alpha_{k}, beta_{k}):\n"
+            f"    return alpha_{k} + beta_{k} * {k} + {j * 100}\n"
+            for k in range(10)
+        )
+
+    rows = [
+        ("org/a", f"src/f{j}.py", chr(97 + j) * 40, "python",
+         header + "\n" + body(j))
+        for j in range(3)
+    ]
+    src = str(tmp_path / "src_ld")
+    spark.createDataFrame(
+        rows,
+        "repo string, path string, commit string, lang string, content string",
+    ).write.mode("overwrite").parquet(src)
+
+    out = str(tmp_path / "cur_ld")
+    assert main(["curate", "--input", src, "--output", out,
+                 "--line-dedup", "2", "--cores", "4"]) == 0
+    summary = json.load(open(f"{out}/summary.json"))
+    assert summary["line_dedup"] == {
+        "min_docs": 2, "lines_removed": 3, "docs_rewritten": 3
+    }, summary
+    assert summary["kept"] == 3 and summary["dropped"] == 0, summary
+    cur = spark.read.parquet(f"{out}/curated")
+    for r in cur.collect():
+        assert header not in r.content
+        assert r.lines_deduped == 1
+        assert f"def fn_" in r.content  # bodies untouched
+
+    # without the flag the header is retained
+    out2 = str(tmp_path / "cur_plain_ld")
+    assert main(["curate", "--input", src, "--output", out2,
+                 "--cores", "4"]) == 0
+    cur2 = spark.read.parquet(f"{out2}/curated")
+    assert all(header in r.content for r in cur2.collect())
+    assert "line_dedup" not in json.load(open(f"{out2}/summary.json"))
+
+
+def test_cli_curate_line_dedup_min_docs_is_validated(tmp_path, capsys):
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit) as exc:
+        main(["curate", "--input", "x", "--output", "y",
+              "--line-dedup", "1"])
+    assert exc.value.code == 2  # argparse usage error
+    assert "MIN_DOCS must be >= 2" in capsys.readouterr().err
