@@ -240,6 +240,21 @@ def code_ops_block(spark, n_rows: int) -> dict:
     cd.repo_profile(df).agg(F.count(F.lit(1))).collect()
     out["repo_profile_sec"] = round(time.monotonic() - t0, 3)
 
+    # corpus-level line dedup over the FULL table: line-hash agg +
+    # semi-join + per-doc position reduce + id-keyed join-back — the
+    # boilerplate-removal pre-stage. Aggregate to lines removed so the
+    # whole rewrite (incl. the rebuild projection) is exercised.
+    from faang_pydantics_validation_spark.ops import dedup as ddm
+
+    t0 = time.monotonic()
+    ddm.dedup_lines_corpus(
+        df.withColumn("doc_id", F.concat_ws("/", "repo", "path", "commit")),
+        id_col="doc_id", text_col="content",
+    ).agg(
+        F.sum("n_lines_deduped"), F.sum(F.length("text_line_deduped"))
+    ).collect()
+    out["line_dedup_sec"] = round(time.monotonic() - t0, 3)
+
     n_sub = int(os.environ.get("SPARK_GRAFT_BENCH_WINNOW_ROWS", "200000"))
     sub = df.filter(F.pmod(F.xxhash64("path"), F.lit(max(n_rows // n_sub, 1))) == 0)
     out["winnow_rows"] = n_sub

@@ -970,6 +970,85 @@ SELECT sha256(text) AS content_hash, CAST(COUNT(*) AS BIGINT) AS n_copies,
 FROM aug GROUP BY sha256(text) HAVING COUNT(*) > 1
 """
 
+#: boilerplate line planted on every 7th document so the line-dedup
+#: contract query exercises REAL removals (the synthetic documents table
+#: has no naturally repeated full lines); both engines compute the same
+#: augmented input, so the rebuild AND removal paths are hash-checked.
+_LDC_PLANT = "NOTICE: planted boilerplate header for the line-dedup contract"
+
+
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level line dedup (ops/dedup.dedup_lines_corpus) over the
+    documents table with a deterministically planted cross-doc header.
+    The Spark path groups 8-byte xxhash64 line keys; the oracle groups
+    the normalized strings themselves — identical results absent 64-bit
+    collisions, so the hash check adjudicates the grouping semantics."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(_LDC_PLANT), F.lit("\n"), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = dd.dedup_lines_corpus(docs, id_col="doc_id", text_col="text")
+    return out.select(
+        F.col("doc_id").cast("string").alias("record_id"),
+        F.col("text_line_deduped").alias("text_deduped"),
+        F.col("n_lines_deduped").cast("long").alias("n_lines_deduped"),
+    )
+
+
+# Java \s == [ \t\n\x0B\f\r]: the explicit class keeps RE2 (DuckDB)
+# bit-compatible with Spark's JVM regex on vertical-tab input — the
+# same parity pin as the dedup shingle twins.
+SQL_DEDUP_LINES = r"""
+WITH src AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN 'NOTICE: planted boilerplate header for the line-dedup contract' || chr(10) || text
+              ELSE text END AS text
+  FROM documents
+),
+lines AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1) - 1 AS pos
+  FROM src
+),
+normed AS (
+  SELECT doc_id, pos, line,
+         regexp_replace(trim(line), '[ \t\n\x0B\f\r]+', ' ', 'g') AS norm
+  FROM lines
+),
+rep AS (
+  SELECT norm FROM normed WHERE length(norm) >= 10
+  GROUP BY norm HAVING count(DISTINCT doc_id) >= 2
+),
+kept AS (
+  SELECT doc_id, pos, line FROM normed
+  WHERE NOT (length(norm) >= 10 AND norm IN (SELECT norm FROM rep))
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS txt,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+totals AS (
+  SELECT doc_id, count(*) AS n_total FROM normed GROUP BY doc_id
+)
+SELECT CAST(s.doc_id AS VARCHAR) AS record_id,
+       CASE WHEN s.text IS NULL THEN NULL
+            ELSE COALESCE(r.txt, '') END AS text_deduped,
+       CAST(CASE WHEN s.text IS NULL THEN 0
+                 ELSE t.n_total - COALESCE(r.n_kept, 0) END AS BIGINT)
+         AS n_lines_deduped
+FROM src s
+LEFT JOIN rebuilt r ON s.doc_id = r.doc_id
+LEFT JOIN totals t ON s.doc_id = t.doc_id
+"""
+
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs, ORACLE-EXACT since round 3 via
@@ -2226,7 +2305,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_jaccard_pairs": q_text_jaccard_pairs,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
-    "text_fingerprint": q_text_fingerprint,
+    "dedup_lines": q_dedup_lines,
     "sim_cosine_topk": q_sim_cosine_topk,
     "sim_cosine_topk_ivf": q_sim_cosine_topk_ivf,
     "sim_cosine_topk_lsh": q_sim_cosine_topk_lsh,
@@ -2257,6 +2336,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # functions and their SQL stay on the public surface with the SAME
 # hash-vs-DuckDB adjudication, driven from
 # tests/test_retired_queries.py instead of a registry slot.
+# Round-4 continuation rotation: text_fingerprint retired (at sf0.01 its
+# value hash is IDENTICAL to dedup_exact's — the synthetic documents are
+# already normalized, so the two slots carried the same information) for
+# dedup_lines, the corpus-level line-dedup contract query.
 assert len(QUERIES) == 50, f"driver harvests 50 queries, got {len(QUERIES)}"
 
 ORACLE_SQL: dict[str, str] = {
@@ -2295,7 +2378,7 @@ ORACLE_SQL: dict[str, str] = {
     "text_jaccard_pairs": SQL_TEXT_JACCARD_PAIRS,
     "text_quality": SQL_TEXT_QUALITY,
     "text_langid": SQL_TEXT_LANGID,
-    "text_fingerprint": SQL_TEXT_FINGERPRINT,
+    "dedup_lines": SQL_DEDUP_LINES,
     "sim_cosine_topk": SQL_SIM_COSINE_TOPK,
     "sim_cosine_topk_ivf": SQL_SIM_COSINE_TOPK_IVF,
     "sim_cosine_topk_lsh": SQL_SIM_COSINE_TOPK_LSH,

@@ -29,6 +29,7 @@ RETIRED = [
         Q.q_dedup_exact_duplicates,
         Q.SQL_DEDUP_EXACT_DUPLICATES,
     ),
+    ("text_fingerprint", Q.q_text_fingerprint, Q.SQL_TEXT_FINGERPRINT),
 ]
 
 
