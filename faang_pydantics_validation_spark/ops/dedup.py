@@ -597,6 +597,11 @@ def dedup_lines_corpus(
       reshard-by-bucket in ``lm_perplexity_buckets``. The rebuild
       itself (indexed ``filter`` + ``concat_ws``) is row-local.
 
+    The input is scanned TWICE (once to discover repeats, once as the
+    join-back left side) — inherent to any corpus-global rewrite; on a
+    cluster both are column-pruned object-store reads, and a caller
+    that already has the table cached pays nothing extra.
+
     64-bit line-hash collisions merge distinct normalized lines at
     ~m^2/2^64 for m distinct lines corpus-wide — the standard trade;
     the pytest mirror pins semantics against exact string grouping.

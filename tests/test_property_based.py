@@ -136,3 +136,56 @@ def _run_violations(rule, values):
         df, record_id="rid"
     )
     return out.violations().collect()
+
+
+# ------------------------------------------------- corpus-level line dedup --
+
+LINE_POOL = st.sampled_from([
+    "shared boilerplate alpha line",     # long enough to be a candidate
+    "shared boilerplate beta line",
+    "short ln",                          # below min_line_chars: never removed
+    "",                                  # blank: never removed
+    "  shared boilerplate alpha line ",  # whitespace variant of pool[0]
+])
+DOC_TEXT = st.one_of(
+    st.none(),
+    st.lists(
+        st.one_of(LINE_POOL, st.text(alphabet="xyz _", max_size=20)),
+        min_size=0, max_size=6,
+    ).map(lambda ls: "\n".join(ls)),
+)
+
+
+@given(st.lists(DOC_TEXT, min_size=1, max_size=12))
+@SLOW
+def test_dedup_lines_corpus_matches_python_model(spark, texts):
+    from faang_pydantics_validation_spark.ops.dedup import dedup_lines_corpus
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.text_line_deduped, r.n_lines_deduped)
+        for r in dedup_lines_corpus(df, min_docs=2).collect()
+    }
+
+    def norm(s: str) -> str:
+        return re.sub(r"\s+", " ", s.strip())
+
+    docs_per_line: dict[str, set] = {}
+    for i, t in enumerate(texts):
+        if t is None:
+            continue
+        for ln in t.split("\n"):
+            n = norm(ln)
+            if len(n) >= 10:
+                docs_per_line.setdefault(n, set()).add(i)
+    repeated = {n for n, ds in docs_per_line.items() if len(ds) >= 2}
+    for i, t in enumerate(texts):
+        if t is None:
+            assert got[i] == (None, 0), f"doc {i}"
+            continue
+        keep = [ln for ln in t.split("\n")
+                if not (len(norm(ln)) >= 10 and norm(ln) in repeated)]
+        expected = ("\n".join(keep), len(t.split("\n")) - len(keep))
+        assert got[i] == expected, f"doc {i}: {t!r}"
