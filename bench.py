@@ -194,6 +194,58 @@ def ivf_crossover(spark) -> dict:
     }
     recall = len(ivf_pairs & exact_pairs) / max(len(exact_pairs), 1)
 
+    # PQ/ADC on the same corpus + the same exact baseline: codebook
+    # training (bounded 20k hash sample, FAISS practice) + full-corpus
+    # encode-to-parquet is the amortized build; the DEPLOYED query mode
+    # is ADC shortlist (4k) + exact re-rank — raw ADC alone cannot rank
+    # within reconstruction-collided clusters, so its recall is also
+    # reported to document why the re-rank is part of the tier.
+    pq_m = int(os.environ.get("SPARK_GRAFT_BENCH_PQ_M", "8"))
+    pq_codes = int(os.environ.get("SPARK_GRAFT_BENCH_PQ_CODES", "256"))
+    # shortlist must cover reconstruction-TIE sets: the latent clusters
+    # quantize to identical codes, so ADC cannot rank inside one — size
+    # the shortlist to ~2 clusters' membership (tunable)
+    pq_short = int(
+        os.environ.get(
+            "SPARK_GRAFT_BENCH_PQ_SHORTLIST",
+            str(max(40, 2 * n // max(n_clusters, 1))),
+        )
+    )
+    t0 = time.monotonic()
+    cb = sim.train_pq_codebooks(
+        emb, m=pq_m, n_codes=pq_codes, refine_iters=1, dim=dim,
+        train_fraction=min(1.0, 20_000 / n),
+    )
+    pq_path = path + f"_pq{pq_m}x{pq_codes}"
+    sim.pq_encode(emb, cb, m=pq_m, n_codes=pq_codes).select(
+        "vec_id", "pq_code", "pq_rnorm"
+    ).write.mode("overwrite").parquet(pq_path)
+    wall_pq_build = time.monotonic() - t0
+    encoded = spark.read.parquet(pq_path)
+
+    t0 = time.monotonic()
+    sim.pq_topk(
+        encoded, qs, cb, m=pq_m, n_codes=pq_codes, k=10, rerank=emb,
+        shortlist=pq_short,
+    ).agg(F.count(F.lit(1))).collect()
+    wall_pq = time.monotonic() - t0
+
+    pq_raw_pairs = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.pq_topk(
+            encoded, qs_sub, cb, m=pq_m, n_codes=pq_codes, k=10
+        ).collect()
+    }
+    pq_pairs = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.pq_topk(
+            encoded, qs_sub, cb, m=pq_m, n_codes=pq_codes, k=10, rerank=emb,
+            shortlist=pq_short,
+        ).collect()
+    }
+    pq_raw_recall = len(pq_raw_pairs & exact_pairs) / max(len(exact_pairs), 1)
+    pq_recall = len(pq_pairs & exact_pairs) / max(len(exact_pairs), 1)
+
     return {
         "rows": n,
         "dim": dim,
@@ -205,6 +257,15 @@ def ivf_crossover(spark) -> dict:
         "wall_exact_sec": round(wall_exact, 3),
         "speedup_vs_exact": round(wall_exact / wall_ivf, 2),
         "recall_at_10": round(recall, 4),
+        "pq_m": pq_m,
+        "pq_codes": pq_codes,
+        "wall_pq_build_sec": round(wall_pq_build, 3),
+        "wall_pq_sec": round(wall_pq, 3),
+        "pq_speedup_vs_exact": round(wall_exact / wall_pq, 2),
+        "pq_recall_at_10": round(pq_recall, 4),
+        "pq_raw_adc_recall_at_10": round(pq_raw_recall, 4),
+        "pq_shortlist": pq_short,
+        "pq_bytes_per_vector": pq_m * (1 if pq_codes <= 256 else 2),
     }
 
 

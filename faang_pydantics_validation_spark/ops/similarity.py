@@ -819,3 +819,403 @@ def dequantize_embeddings(
             lambda q: (q.cast("double") * F.col(scale_col)).cast("float"),
         ),
     )
+
+
+# -------------------------------------------------- product quantization --
+#
+# The memory tier past int8: FAISS-style PQ (Jégou, Douze, Schmid, "Product
+# Quantization for Nearest Neighbor Search", TPAMI 2011 — public). Each
+# vector splits into m disjoint subvectors; each subspace gets its own
+# k-means codebook of n_codes centroids; a vector is stored as m small
+# code ids (m bytes at n_codes=256) instead of dim floats — 768-dim
+# float32 (3 KB) becomes 96 bytes at m=96, and query scoring (ADC —
+# asymmetric distance computation) is m table lookups per candidate
+# instead of a dim-wide dot product.
+
+
+def _pq_slices(vec: Column, m: int, d_sub: int) -> list[Column]:
+    """The m disjoint coordinate blocks of ``vec`` (1-based slice)."""
+    return [
+        F.slice(vec, s * d_sub + 1, d_sub).cast("array<double>")
+        for s in range(m)
+    ]
+
+
+def _pq_codebook_row(codebooks: DataFrame) -> DataFrame:
+    """Collapse the (subspace, code, centroid) codebook TABLE into ONE
+    broadcast row holding the array sorted by (subspace, code) — the
+    same shipping shape as :func:`_broadcast_centroid_row`, so the
+    whole codebook (dim × n_codes doubles, ~1.6 MB at 768×256) travels
+    as broadcast data once per executor, never as plan text. Each entry
+    carries ``c2 = |c|²`` precomputed: the L2 argmin per subvector
+    ``argmin |v-c|² = argmin (c2 - 2·dot(v,c))`` then needs ONE dot
+    fold per code."""
+    entry = F.struct(
+        F.col("subspace").cast("int").alias("subspace"),
+        F.col("code").cast("int").alias("code"),
+        F.col("centroid").cast("array<double>").alias("c"),
+        dot(
+            F.col("centroid").cast("array<double>"),
+            F.col("centroid").cast("array<double>"),
+        ).alias("c2"),
+    )
+    row = codebooks.select(entry.alias("e")).agg(
+        F.array_sort(F.collect_list("e")).alias("__cb")
+    )
+    return F.broadcast(row)
+
+
+def _pq_argmin(sub: Column, codes: Column) -> Column:
+    """struct<dist, code>: the L2-nearest code for one subvector —
+    ``array_min`` over (c2 − 2·dot, code) so ties break toward the
+    smaller code id, pinned for cross-engine determinism."""
+    return F.array_min(
+        F.transform(
+            codes,
+            lambda e: F.struct(
+                (e["c2"] - 2.0 * dot(sub, e["c"])).alias("dist"),
+                e["code"].alias("code"),
+            ),
+        )
+    )
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    m: int = 8,
+    n_codes: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_iters: int = 2,
+    dim: int | None = None,
+    train_fraction: float | None = None,
+) -> DataFrame:
+    """Distributed PQ training: k-means per subspace, all m subspaces in
+    ONE job graph, codebooks a DataFrame end-to-end (nothing corpus- or
+    codebook-sized touches the driver — the same contract as
+    :func:`train_ivf_centroids`).
+
+    ``train_fraction`` bounds the Lloyd passes to a deterministic
+    zero-shuffle hash sample of the corpus (``xxhash64(id) mod 10^6 <
+    f·10^6``) — the FAISS-standard practice of training quantizers on a
+    bounded sample (codebook quality saturates long before corpus
+    size); encode still runs over everything.
+
+    * Seeds: the same deterministic xxhash64-ordered ``n_codes`` sample
+      rows seed every subspace (each seed row contributes its s-th
+      block to subspace s) — one TakeOrdered-shaped limit, the standard
+      train-all-subquantizers-from-one-sample practice.
+    * Per Lloyd iteration: the corpus explodes row-locally into
+      (id, subspace, subvector) rows (total payload = the original
+      vector column, no duplication); assignment joins the single-row
+      broadcast codebook and runs the argmin fold on each row's own
+      subspace block (``F.slice`` with a column start); means average
+      per (subspace, code, position) — the exchange carries
+      ``dim × n_codes`` partial rows regardless of corpus size, hot
+      codes pre-combine map-side; empty codes keep their previous
+      centroid; each iteration ``localCheckpoint``s the
+      ``m × n_codes``-row codebook on executors.
+
+    ``dim`` must be divisible by ``m`` (asserted; probed from one row
+    when not passed). Returns ``(subspace int, code int,
+    centroid array<double>)``.
+    """
+    if dim is None:
+        probe = df.select(F.size(vec_col).alias("d")).limit(1).collect()
+        dim = int(probe[0]["d"]) if probe else 0
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d_sub = dim // m
+    if train_fraction is not None and train_fraction < 1.0:
+        df = df.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_000))
+            < int(train_fraction * 1_000_000)
+        )
+
+    order = [F.xxhash64(F.col("__id")), F.col("__id")]
+    seeds = (
+        df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        .orderBy(*order)
+        .limit(n_codes)
+        .withColumn("__rn", F.row_number().over(Window.orderBy(*order)))
+    )
+    codebooks = seeds.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("subspace"),
+                        (F.col("__rn") - 1).alias("code"),
+                        _pq_slices(F.col("__v"), m, d_sub)[s].alias(
+                            "centroid"
+                        ),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("e")
+    ).select("e.subspace", "e.code", "e.centroid")
+
+    if refine_iters:
+        subrows = df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("subspace"),
+                            _pq_slices(F.col(vec_col), m, d_sub)[s].alias(
+                                "subvec"
+                            ),
+                        )
+                        for s in range(m)
+                    ]
+                )
+            ).alias("e"),
+        ).select("__id", "e.subspace", "e.subvec")
+    for _ in range(refine_iters):
+        assigned = subrows.crossJoin(_pq_codebook_row(codebooks)).select(
+            "subspace",
+            "subvec",
+            _pq_argmin(
+                F.col("subvec"),
+                F.slice(
+                    F.col("__cb"), F.col("subspace") * n_codes + 1, n_codes
+                ),
+            )["code"].alias("code"),
+        )
+        means = (
+            assigned.select(
+                "subspace",
+                "code",
+                F.posexplode("subvec").alias("__pos", "__val"),
+            )
+            .groupBy("subspace", "code", "__pos")
+            .agg(F.avg("__val").alias("__m"))
+            .groupBy("subspace", "code")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("__pos", "__m"))).alias(
+                    "__pm"
+                )
+            )
+            .select(
+                "subspace",
+                "code",
+                F.transform(F.col("__pm"), lambda s: s["__m"]).alias("__new"),
+            )
+        )
+        codebooks = (
+            codebooks.join(means, ["subspace", "code"], "left")
+            .select(
+                "subspace",
+                "code",
+                F.coalesce(F.col("__new"), F.col("centroid")).alias(
+                    "centroid"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return codebooks
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: DataFrame,
+    m: int,
+    n_codes: int = 256,
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+    rnorm_col: str = "pq_rnorm",
+) -> DataFrame:
+    """Encode each vector as its m nearest code ids — ROW-LOCAL after the
+    single-row broadcast codebook join (the corpus never shuffles; the
+    plan is scan → broadcast join → one projection). Appends
+
+    * ``code_col``  — array<int> of length m (m bytes/vector on disk at
+      n_codes ≤ 256: parquet dict-encodes small ints);
+    * ``rnorm_col`` — the reconstruction's norm √(Σ_s |c_s|²), exact
+      because subspaces are disjoint coordinate blocks; ADC cosine uses
+      it as the candidate-side denominator, so PQ cosine is EXACT with
+      respect to the reconstructed vector (all approximation lives in
+      the reconstruction itself).
+
+    NULL vectors get NULL codes/rnorm.
+    """
+    cb = F.col("__cb")
+    dim_probe = df.select(F.size(vec_col).alias("d")).limit(1).collect()
+    dim = int(dim_probe[0]["d"]) if dim_probe else 0
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d_sub = dim // m
+    picks = [
+        _pq_argmin(
+            _pq_slices(F.col(vec_col), m, d_sub)[s],
+            F.slice(cb, s * n_codes + 1, n_codes),
+        )
+        for s in range(m)
+    ]
+    # Σ|c_s|² = Σ c2 of the chosen codes, looked up positionally in the
+    # (subspace, code)-sorted broadcast array
+    code_arr = F.array(*[p["code"].cast("int") for p in picks])
+    c2_sum = F.aggregate(
+        F.transform(
+            code_arr,
+            lambda c, s: F.element_at(cb, s * n_codes + c + 1)["c2"],
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    out = (
+        df.crossJoin(_pq_codebook_row(codebooks))
+        .withColumns(
+            {
+                code_col: F.when(F.col(vec_col).isNotNull(), code_arr),
+                rnorm_col: F.when(
+                    F.col(vec_col).isNotNull(), F.sqrt(c2_sum)
+                ),
+            }
+        )
+        .drop("__cb")
+    )
+    return out
+
+
+def pq_topk(
+    encoded_corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    m: int,
+    n_codes: int = 256,
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    rnorm_col: str = "pq_rnorm",
+    query_id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+    exclude_self: bool = True,
+    rerank: DataFrame | None = None,
+    rerank_vec_col: str = "embedding",
+    shortlist: int | None = None,
+) -> DataFrame:
+    """ADC top-k: (query_id, neighbor_id, score, rank) where score is
+    the cosine between the raw query and each candidate's PQ
+    RECONSTRUCTION — asymmetric distance computation, the published PQ
+    search mode (query stays exact; only the corpus is quantized).
+
+    Each query precomputes its distance table once, ROW-LOCALLY: the
+    dot of every codebook centroid with the query's matching subvector
+    (m × n_codes entries, ordered by (subspace, code) so lookups are
+    positional). Scoring a candidate is then m ``element_at`` lookups +
+    a sum — no dim-wide arithmetic per pair. The query side (queries ×
+    table) broadcasts; the encoded corpus never shuffles and its scan
+    reads m-byte codes, not dim × 8-byte vectors — the IO the tier
+    exists to save.
+
+    ``rerank`` enables the published deployment mode (ADC shortlist +
+    exact re-rank): the per-query ADC top-``shortlist`` (default
+    ``4 × k``) candidates join their RAW vectors from ``rerank`` (the
+    original corpus — a broadcast of the queries × shortlist id set, so
+    the raw table is scanned once and never shuffled) and the final
+    top-k ranks on exact cosine. Raw ADC cannot rank candidates whose
+    reconstructions collide (tight clusters quantize to the same
+    codes); the re-rank restores exact order at shortlist cost instead
+    of corpus cost. With ``shortlist >= |corpus|`` the result equals
+    :func:`cosine_topk` bit-for-bit.
+    """
+    qtab = F.array_sort(
+        F.transform(
+            F.col("__cb"),
+            lambda e: F.struct(
+                e["subspace"].alias("subspace"),
+                e["code"].alias("code"),
+                dot(
+                    F.slice(
+                        F.col(query_vec_col).cast("array<double>"),
+                        e["subspace"]
+                        * (F.size(query_vec_col) / F.lit(m)).cast("int")
+                        + 1,
+                        (F.size(query_vec_col) / F.lit(m)).cast("int"),
+                    ),
+                    e["c"],
+                ).alias("d"),
+            ),
+        )
+    )
+    q = F.broadcast(
+        queries.crossJoin(_pq_codebook_row(codebooks)).select(
+            F.col(query_id_col).alias("query_id"),
+            norm(F.col(query_vec_col)).alias("__qnorm"),
+            F.transform(qtab, lambda s: s["d"]).alias("__qtab"),
+        )
+    )
+    c = encoded_corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(code_col).alias("__codes"),
+        F.col(rnorm_col).alias("__rnorm"),
+    )
+    # UNROLLED m-term sum, not transform+aggregate: higher-order
+    # functions are CodegenFallback (interpreted), which measured
+    # SLOWER than the 64-mult exact dot; GetArrayItem + ElementAt are
+    # plain codegen'd expressions, so the flat sum keeps the whole
+    # scoring projection inside whole-stage codegen. Left-to-right
+    # s-order matches the pytest mirror.
+    adc_dot = F.lit(0.0)
+    for s in range(m):
+        adc_dot = adc_dot + F.element_at(
+            F.col("__qtab"),
+            F.col("__codes")[s].cast("int") + F.lit(s * n_codes + 1),
+        )
+    scored = c.crossJoin(q).select(
+        "query_id",
+        "neighbor_id",
+        cosine_pre(adc_dot, F.col("__qnorm"), F.col("__rnorm")).alias(
+            "score"
+        ),
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    if rerank is None:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "score", "rank")
+        )
+    n_short = shortlist if shortlist is not None else 4 * k
+    short = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n_short)
+        .select("query_id", "neighbor_id")
+    )
+    raw = rerank.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(rerank_vec_col).alias("__nvec"),
+        norm(F.col(rerank_vec_col)).alias("__nnorm"),
+    )
+    qraw = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("__qvec"),
+            norm(F.col(query_vec_col)).alias("__qn"),
+        )
+    )
+    rescored = (
+        raw.join(F.broadcast(short), "neighbor_id")
+        .join(qraw, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_pre(
+                dot(F.col("__qvec"), F.col("__nvec")),
+                F.col("__qn"),
+                F.col("__nnorm"),
+            ).alias("score"),
+        )
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )

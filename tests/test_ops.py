@@ -1409,3 +1409,169 @@ def test_dedup_lines_corpus_plan_no_python_and_partial_agg(spark):
     # repeated-line discovery pre-aggregates map-side (Zipf head collapses
     # before the exchange)
     assert "partial_count" in p or "count(distinct" in p
+
+
+# --------------------------------------------------- product quantization --
+
+
+def _py_fold_dot(a, b):
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + float(x) * float(y)
+    return acc
+
+
+def test_pq_encode_matches_python_mirror(spark, vectors):
+    m, n_codes = 4, 8
+    cb = sim.train_pq_codebooks(
+        vectors, m=m, n_codes=n_codes, refine_iters=2
+    )
+    got = {
+        r.vec_id: (list(r.pq_code), r.pq_rnorm)
+        for r in sim.pq_encode(vectors, cb, m=m, n_codes=n_codes).collect()
+    }
+    cents = {
+        (r.subspace, r.code): list(r.centroid) for r in cb.collect()
+    }
+    c2 = {k: _py_fold_dot(v, v) for k, v in cents.items()}
+    d_sub = 8 // m
+    for row in vectors.collect():
+        vec = list(row.embedding)
+        codes, c2_sum = [], 0.0
+        for s in range(m):
+            sub = vec[s * d_sub:(s + 1) * d_sub]
+            best = min(
+                (c2[(s, c)] - 2.0 * _py_fold_dot(sub, cents[(s, c)]), c)
+                for c in range(n_codes) if (s, c) in cents
+            )
+            codes.append(best[1])
+            c2_sum = c2_sum + c2[(s, best[1])]
+        import math
+        exp = (codes, math.sqrt(c2_sum))
+        assert got[row.vec_id][0] == exp[0], f"vec {row.vec_id}"
+        assert abs(got[row.vec_id][1] - exp[1]) < 1e-12, f"vec {row.vec_id}"
+
+
+def test_pq_topk_is_adc_cosine_of_reconstruction(spark, vectors):
+    """The ADC score must equal cosine(query, reconstruction) exactly —
+    all approximation lives in the reconstruction, none in the scoring."""
+    import math
+
+    m, n_codes = 4, 8
+    cb = sim.train_pq_codebooks(vectors, m=m, n_codes=n_codes, refine_iters=1)
+    enc = sim.pq_encode(vectors, cb, m=m, n_codes=n_codes)
+    qs = vectors.filter(F.col("vec_id") % 10 == 0)
+    out = sim.pq_topk(enc, qs, cb, m=m, n_codes=n_codes, k=5).collect()
+    assert len(out) == 4 * 5 and all(1 <= r.rank <= 5 for r in out)
+
+    cents = {(r.subspace, r.code): list(r.centroid) for r in cb.collect()}
+    codes = {r.vec_id: list(r.pq_code) for r in enc.collect()}
+    vecs = {r.vec_id: list(r.embedding) for r in vectors.collect()}
+    d_sub = 8 // m
+    for r in out:
+        recon = []
+        for s in range(m):
+            recon += cents[(s, codes[r.neighbor_id][s])]
+        q = vecs[r.query_id]
+        qn = math.sqrt(_py_fold_dot(q, q))
+        rn = math.sqrt(
+            sum(_py_fold_dot(cents[(s, codes[r.neighbor_id][s])],
+                             cents[(s, codes[r.neighbor_id][s])])
+                for s in range(m))
+        )
+        # ADC sums per-subspace dots in subspace order
+        adc = 0.0
+        for s in range(m):
+            adc = adc + _py_fold_dot(
+                q[s * d_sub:(s + 1) * d_sub], cents[(s, codes[r.neighbor_id][s])]
+            )
+        exp = adc / (qn * rn) if qn * rn > 0 else 0.0
+        assert abs(r.score - exp) < 1e-9, (r, exp)
+
+
+def test_pq_topk_recall_against_exact(spark, vectors):
+    m, n_codes = 4, 8
+    cb = sim.train_pq_codebooks(vectors, m=m, n_codes=n_codes, refine_iters=2)
+    enc = sim.pq_encode(vectors, cb, m=m, n_codes=n_codes)
+    qs = vectors.filter(F.col("vec_id") % 10 == 0)
+    exact = sim.cosine_topk(vectors, qs, k=5)
+    approx = sim.pq_topk(enc, qs, cb, m=m, n_codes=n_codes, k=5)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # 8 codes per 2-dim subspace on an 8-angle clustered corpus
+    # reconstructs nearly losslessly
+    assert recall >= 0.7, recall
+
+
+def test_pq_corpus_never_shuffles_and_no_python(spark, vectors):
+    m, n_codes = 4, 8
+    cb = sim.train_pq_codebooks(vectors, m=m, n_codes=n_codes, refine_iters=0)
+    enc = sim.pq_encode(vectors, cb, m=m, n_codes=n_codes)
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan  # codebook rides a broadcast row
+    assert "Python" not in plan
+    qs = vectors.filter(F.col("vec_id") == 0)
+    topk = sim.pq_topk(enc, qs, cb, m=m, n_codes=n_codes, k=3)
+    plan2 = topk._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan2
+    assert "Python" not in plan2
+    # the only window is the per-query top-k rank
+    assert plan2.count("Window") >= 1
+
+
+def test_pq_topk_rerank_restores_exact_order(spark, vectors):
+    """With a corpus-covering shortlist, ADC + exact re-rank must equal
+    cosine_topk bit-for-bit; with the default 4k shortlist, recall must
+    beat raw ADC on the tight-cluster corpus (reconstruction collisions
+    are un-rankable without the re-rank)."""
+    m, n_codes = 4, 8
+    cb = sim.train_pq_codebooks(vectors, m=m, n_codes=n_codes, refine_iters=2)
+    enc = sim.pq_encode(vectors, cb, m=m, n_codes=n_codes)
+    qs = vectors.filter(F.col("vec_id") % 10 == 0)
+    exact = sorted(
+        (r.query_id, r.neighbor_id, r.score, r.rank)
+        for r in sim.cosine_topk(vectors, qs, k=5).collect()
+    )
+    full = sorted(
+        (r.query_id, r.neighbor_id, r.score, r.rank)
+        for r in sim.pq_topk(
+            enc, qs, cb, m=m, n_codes=n_codes, k=5,
+            rerank=vectors, shortlist=40,
+        ).collect()
+    )
+    assert full == exact
+
+    e = {(a, b) for a, b, _, _ in exact}
+    raw = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.pq_topk(enc, qs, cb, m=m, n_codes=n_codes, k=5).collect()
+    }
+    rr = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.pq_topk(
+            enc, qs, cb, m=m, n_codes=n_codes, k=5, rerank=vectors
+        ).collect()
+    }
+    assert len(rr & e) >= len(raw & e)
+    assert len(rr & e) / len(e) >= 0.7
+
+
+def test_pq_train_fraction_is_deterministic_subset(spark, vectors):
+    m, n_codes = 4, 8
+    cb_full = sim.train_pq_codebooks(
+        vectors, m=m, n_codes=n_codes, refine_iters=0
+    )
+    cb_half = sim.train_pq_codebooks(
+        vectors, m=m, n_codes=n_codes, refine_iters=0, train_fraction=0.5
+    )
+    # both are valid codebooks over the same subspace grid
+    assert cb_half.select("subspace").distinct().count() == m
+    assert cb_half.count() <= cb_full.count()
+    # deterministic: same fraction -> identical codebook
+    again = sim.train_pq_codebooks(
+        vectors, m=m, n_codes=n_codes, refine_iters=0, train_fraction=0.5
+    )
+    assert sorted(map(tuple, cb_half.collect())) == sorted(
+        map(tuple, again.collect())
+    )
