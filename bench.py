@@ -217,8 +217,11 @@ def ivf_crossover(spark) -> dict:
         train_fraction=min(1.0, 20_000 / n),
     )
     pq_path = path + f"_pq{pq_m}x{pq_codes}"
-    sim.pq_encode(emb, cb, m=pq_m, n_codes=pq_codes).select(
-        "vec_id", "pq_code", "pq_rnorm"
+    # encode the IVF-indexed corpus so ONE written artifact carries both
+    # index columns — (cell, pq_code, pq_rnorm) — and the composed
+    # IVF-PQ path below reads the same table
+    sim.pq_encode(indexed, cb, m=pq_m, n_codes=pq_codes).select(
+        "vec_id", "cell", "pq_code", "pq_rnorm"
     ).write.mode("overwrite").parquet(pq_path)
     wall_pq_build = time.monotonic() - t0
     encoded = spark.read.parquet(pq_path)
@@ -246,6 +249,23 @@ def ivf_crossover(spark) -> dict:
     pq_raw_recall = len(pq_raw_pairs & exact_pairs) / max(len(exact_pairs), 1)
     pq_recall = len(pq_pairs & exact_pairs) / max(len(exact_pairs), 1)
 
+    # composed IVF-PQ: cell pruning × code-only scan × ADC × re-rank —
+    # the full deployment shape over the same single written artifact
+    t0 = time.monotonic()
+    sim.cosine_topk_ivfpq(
+        encoded, qs, centroids, cb, m=pq_m, n_codes=pq_codes, k=10,
+        nprobe=nprobe, rerank=emb, shortlist=pq_short,
+    ).agg(F.count(F.lit(1))).collect()
+    wall_ivfpq = time.monotonic() - t0
+    ivfpq_pairs = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.cosine_topk_ivfpq(
+            encoded, qs_sub, centroids, cb, m=pq_m, n_codes=pq_codes,
+            k=10, nprobe=nprobe, rerank=emb, shortlist=pq_short,
+        ).collect()
+    }
+    ivfpq_recall = len(ivfpq_pairs & exact_pairs) / max(len(exact_pairs), 1)
+
     return {
         "rows": n,
         "dim": dim,
@@ -266,6 +286,9 @@ def ivf_crossover(spark) -> dict:
         "pq_raw_adc_recall_at_10": round(pq_raw_recall, 4),
         "pq_shortlist": pq_short,
         "pq_bytes_per_vector": pq_m * (1 if pq_codes <= 256 else 2),
+        "wall_ivfpq_sec": round(wall_ivfpq, 3),
+        "ivfpq_speedup_vs_exact": round(wall_exact / wall_ivfpq, 2),
+        "ivfpq_recall_at_10": round(ivfpq_recall, 4),
     }
 
 

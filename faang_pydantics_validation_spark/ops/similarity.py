@@ -1219,3 +1219,165 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+def cosine_topk_ivfpq(
+    encoded_corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]] | DataFrame,
+    codebooks: DataFrame,
+    m: int,
+    n_codes: int = 256,
+    k: int = 10,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    cell_col: str = "cell",
+    code_col: str = "pq_code",
+    rnorm_col: str = "pq_rnorm",
+    query_id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+    exclude_self: bool = True,
+    rerank: DataFrame | None = None,
+    rerank_vec_col: str = "embedding",
+    shortlist: int | None = None,
+) -> DataFrame:
+    """The composed FAISS deployment shape — IVF-PQ: the inverted file
+    prunes WHICH candidates are scored (≈ |corpus| × nprobe / n_cells
+    per query), PQ codes shrink WHAT the candidate scan reads (m bytes
+    + one cell int per vector instead of dim floats), ADC scores the
+    survivors with m table lookups, and the optional exact re-rank
+    (``rerank`` = the raw-vector table) restores exact order over the
+    per-query ``shortlist`` (default ``4 × k``).
+
+    ``encoded_corpus`` carries BOTH index artifacts: ``cell_col`` from
+    :func:`ivf_assign` and ``code_col``/``rnorm_col`` from
+    :func:`pq_encode` — built once, written once, amortized over every
+    query batch. ``centroids`` (for probing) and ``codebooks`` (for the
+    ADC tables) ride the same literal/broadcast transports as their
+    standalone paths. The corpus never shuffles: probes and shortlist
+    are query-batch-sized broadcasts.
+    """
+    if not isinstance(centroids, DataFrame):
+        dim_c = len(centroids[0][1]) if centroids else 0
+        if len(centroids) * dim_c > IVF_LITERAL_MAX_FLOATS:
+            centroids = centroids_table(
+                encoded_corpus.sparkSession, centroids
+            )
+    qsrc = queries.crossJoin(_pq_codebook_row(codebooks))
+    if isinstance(centroids, DataFrame):
+        qsrc = qsrc.crossJoin(_broadcast_centroid_row(centroids))
+        cents = F.col("__cents")
+    else:
+        cents = _centroid_literal(centroids)
+    qtab = F.array_sort(
+        F.transform(
+            F.col("__cb"),
+            lambda e: F.struct(
+                e["subspace"].alias("subspace"),
+                e["code"].alias("code"),
+                dot(
+                    F.slice(
+                        F.col(query_vec_col).cast("array<double>"),
+                        e["subspace"]
+                        * (F.size(query_vec_col) / F.lit(m)).cast("int")
+                        + 1,
+                        (F.size(query_vec_col) / F.lit(m)).cast("int"),
+                    ),
+                    e["c"],
+                ).alias("d"),
+            ),
+        )
+    )
+    probes = (
+        qsrc.withColumn("__qnorm", norm(F.col(query_vec_col)))
+        .select(
+            F.col(query_id_col).alias("query_id"),
+            F.col("__qnorm"),
+            F.transform(qtab, lambda s: s["d"]).alias("__qtab"),
+            F.explode(
+                F.slice(
+                    F.reverse(
+                        F.array_sort(
+                            _cell_scores(
+                                F.col(query_vec_col), cents, F.col("__qnorm")
+                            )
+                        )
+                    ),
+                    1,
+                    nprobe,
+                )
+            ).alias("__probe"),
+        )
+        .select(
+            "query_id",
+            "__qnorm",
+            "__qtab",
+            (-F.col("__probe.nc")).alias(cell_col),
+        )
+    )
+    c = encoded_corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(code_col).alias("__codes"),
+        F.col(rnorm_col).alias("__rnorm"),
+        F.col(cell_col),
+    )
+    adc_dot = F.lit(0.0)
+    for s in range(m):
+        adc_dot = adc_dot + F.element_at(
+            F.col("__qtab"),
+            F.col("__codes")[s].cast("int") + F.lit(s * n_codes + 1),
+        )
+    scored = c.join(F.broadcast(probes), cell_col).select(
+        "query_id",
+        "neighbor_id",
+        cosine_pre(adc_dot, F.col("__qnorm"), F.col("__rnorm")).alias(
+            "score"
+        ),
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    if rerank is None:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "score", "rank")
+        )
+    n_short = shortlist if shortlist is not None else 4 * k
+    short = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n_short)
+        .select("query_id", "neighbor_id")
+    )
+    raw = rerank.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(rerank_vec_col).alias("__nvec"),
+        norm(F.col(rerank_vec_col)).alias("__nnorm"),
+    )
+    qraw = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("__qvec"),
+            norm(F.col(query_vec_col)).alias("__qn"),
+        )
+    )
+    rescored = (
+        raw.join(F.broadcast(short), "neighbor_id")
+        .join(qraw, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_pre(
+                dot(F.col("__qvec"), F.col("__nvec")),
+                F.col("__qn"),
+                F.col("__nnorm"),
+            ).alias("score"),
+        )
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )

@@ -1575,3 +1575,50 @@ def test_pq_train_fraction_is_deterministic_subset(spark, vectors):
     assert sorted(map(tuple, cb_half.collect())) == sorted(
         map(tuple, again.collect())
     )
+
+
+def test_ivfpq_full_probe_full_shortlist_equals_exact(spark, vectors):
+    """nprobe = n_cells and a corpus-covering shortlist leave nothing
+    pruned: IVF-PQ + exact re-rank must equal cosine_topk bit-for-bit."""
+    m, n_codes = 4, 8
+    cents = sim.select_ivf_centroids(vectors, n_cells=8, refine_iters=1)
+    indexed = sim.ivf_assign(vectors, cents)
+    cb = sim.train_pq_codebooks(vectors, m=m, n_codes=n_codes, refine_iters=1)
+    enc = sim.pq_encode(indexed, cb, m=m, n_codes=n_codes).select(
+        "vec_id", "cell", "pq_code", "pq_rnorm"
+    )
+    qs = vectors.filter(F.col("vec_id") % 10 == 0)
+    exact = sorted(
+        (r.query_id, r.neighbor_id, r.score, r.rank)
+        for r in sim.cosine_topk(vectors, qs, k=5).collect()
+    )
+    got = sorted(
+        (r.query_id, r.neighbor_id, r.score, r.rank)
+        for r in sim.cosine_topk_ivfpq(
+            enc, qs, cents, cb, m=m, n_codes=n_codes, k=5, nprobe=8,
+            rerank=vectors, shortlist=40,
+        ).collect()
+    )
+    assert got == exact
+
+
+def test_ivfpq_pruned_probe_recall_and_no_corpus_shuffle(spark, vectors):
+    m, n_codes = 4, 8
+    cents = sim.select_ivf_centroids(vectors, n_cells=8, refine_iters=1)
+    indexed = sim.ivf_assign(vectors, cents)
+    cb = sim.train_pq_codebooks(vectors, m=m, n_codes=n_codes, refine_iters=1)
+    enc = sim.pq_encode(indexed, cb, m=m, n_codes=n_codes).select(
+        "vec_id", "cell", "pq_code", "pq_rnorm"
+    )
+    qs = vectors.filter(F.col("vec_id") % 10 == 0)
+    out = sim.cosine_topk_ivfpq(
+        enc, qs, cents, cb, m=m, n_codes=n_codes, k=5, nprobe=4,
+        rerank=vectors, shortlist=20,
+    )
+    e = {(r.query_id, r.neighbor_id)
+         for r in sim.cosine_topk(vectors, qs, k=5).collect()}
+    a = {(r.query_id, r.neighbor_id) for r in out.collect()}
+    assert len(a & e) / len(e) >= 0.6, len(a & e) / len(e)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "Python" not in plan
