@@ -806,6 +806,153 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_index(args) -> int:
+    """Build the ANN index artifacts for an embedding table — the
+    write-once, query-many side of ops/similarity:
+
+      OUT/centroids/   (cell int, centroid array<double>) — distributed
+                       Lloyd training, nothing driver-sized
+      OUT/codebooks/   (subspace, code, centroid)          [--pq-m > 0]
+      OUT/corpus/      (id, cell[, pq_code, pq_rnorm][, vector])
+      OUT/index.json   manifest: source path, columns, sizes, walls
+
+    With PQ on, the corpus artifact deliberately does NOT carry raw
+    vectors — the m-byte scan is the point; exact re-rank at search
+    time reads the ORIGINAL table recorded in the manifest. Without
+    PQ the raw vector rides along for candidate scoring.
+    """
+    from pyspark.sql import SparkSession
+
+    from faang_pydantics_validation_spark.ops import similarity as sim
+
+    owns_session = SparkSession.getActiveSession() is None
+    spark = _build_session(args)
+    spark.sparkContext.setLogLevel("WARN")
+    emb = spark.read.parquet(args.input)
+
+    t0 = time.monotonic()
+    cents = sim.train_ivf_centroids(
+        emb,
+        n_cells=args.cells or None,
+        id_col=args.id_col,
+        vec_col=args.vec_col,
+        refine_iters=args.refine_iters,
+    )
+    cents.write.mode("overwrite").parquet(f"{args.output}/centroids")
+    cents = spark.read.parquet(f"{args.output}/centroids")
+    assigned = sim.ivf_assign(emb, cents, args.id_col, args.vec_col)
+    if args.pq_m:
+        cb = sim.train_pq_codebooks(
+            emb,
+            m=args.pq_m,
+            n_codes=args.pq_codes,
+            id_col=args.id_col,
+            vec_col=args.vec_col,
+            refine_iters=args.refine_iters,
+            train_fraction=args.train_fraction,
+        )
+        cb.write.mode("overwrite").parquet(f"{args.output}/codebooks")
+        cb = spark.read.parquet(f"{args.output}/codebooks")
+        corpus = sim.pq_encode(
+            assigned, cb, m=args.pq_m, n_codes=args.pq_codes,
+            vec_col=args.vec_col,
+        ).select(args.id_col, "cell", "pq_code", "pq_rnorm")
+    else:
+        corpus = assigned.select(args.id_col, "cell", args.vec_col)
+    corpus.write.mode("overwrite").parquet(f"{args.output}/corpus")
+
+    out_df = spark.read.parquet(f"{args.output}/corpus")
+    manifest = {
+        "input": os.path.abspath(args.input),
+        "id_col": args.id_col,
+        "vec_col": args.vec_col,
+        "rows": out_df.count(),
+        "n_cells": cents.count(),
+        "pq_m": args.pq_m,
+        "pq_codes": args.pq_codes if args.pq_m else 0,
+        "refine_iters": args.refine_iters,
+        "wall_sec": round(time.monotonic() - t0, 2),
+    }
+    with open(f"{args.output}/index.json", "w") as f:
+        json.dump(manifest, f)
+    print(json.dumps(manifest))
+    if owns_session:
+        spark.stop()
+    return 0
+
+
+def cmd_search(args) -> int:
+    """Query an ANN index built by ``fpvs index``: IVF-probe the
+    centroids, score candidates (ADC over PQ codes when the index has
+    them, raw cosine otherwise), optionally re-rank the shortlist
+    exactly against the manifest's source table, write one parquet of
+    (query_id, neighbor_id, score, rank) and print a one-line JSON
+    summary."""
+    from pyspark.sql import SparkSession
+
+    from faang_pydantics_validation_spark.ops import similarity as sim
+
+    owns_session = SparkSession.getActiveSession() is None
+    spark = _build_session(args)
+    spark.sparkContext.setLogLevel("WARN")
+    with open(f"{args.index}/index.json") as f:
+        manifest = json.load(f)
+    corpus = spark.read.parquet(f"{args.index}/corpus")
+    cents = spark.read.parquet(f"{args.index}/centroids")
+    queries = spark.read.parquet(args.queries)
+
+    t0 = time.monotonic()
+    if manifest["pq_m"]:
+        cb = spark.read.parquet(f"{args.index}/codebooks")
+        rerank_df = (
+            spark.read.parquet(manifest["input"])
+            if args.exact_rerank
+            else None
+        )
+        out = sim.cosine_topk_ivfpq(
+            corpus,
+            queries,
+            cents,
+            cb,
+            m=manifest["pq_m"],
+            n_codes=manifest["pq_codes"],
+            k=args.k,
+            nprobe=args.nprobe,
+            id_col=manifest["id_col"],
+            query_id_col=manifest["id_col"],
+            query_vec_col=manifest["vec_col"],
+            rerank=rerank_df,
+            rerank_vec_col=manifest["vec_col"],
+            shortlist=args.shortlist,
+        )
+    else:
+        out = sim.cosine_topk_ivf(
+            corpus,
+            queries,
+            cents,
+            k=args.k,
+            nprobe=args.nprobe,
+            id_col=manifest["id_col"],
+            vec_col=manifest["vec_col"],
+            query_id_col=manifest["id_col"],
+            cell_col="cell",
+        )
+    out.write.mode("overwrite").parquet(f"{args.output}/results")
+    n = spark.read.parquet(f"{args.output}/results").count()
+    summary = {
+        "n_results": n,
+        "k": args.k,
+        "nprobe": args.nprobe,
+        "pq": bool(manifest["pq_m"]),
+        "exact_rerank": bool(args.exact_rerank and manifest["pq_m"]),
+        "wall_sec": round(time.monotonic() - t0, 2),
+    }
+    print(json.dumps(summary))
+    if owns_session:
+        spark.stop()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="fpvs")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -902,10 +1049,51 @@ def main(argv=None) -> int:
         help="spark.sql.shuffle.partitions — size by DATA, not cores",
     )
 
+    pi = sub.add_parser(
+        "index",
+        help="build ANN index artifacts (IVF cells [+ PQ codes]) for an"
+        " embedding table",
+    )
+    pi.add_argument("--input", required=True, help="embedding parquet")
+    pi.add_argument("--output", required=True)
+    pi.add_argument("--id-col", default="vec_id")
+    pi.add_argument("--vec-col", default="embedding")
+    pi.add_argument("--cells", type=int, default=0,
+                    help="IVF cell count (0 = sqrt(N) default)")
+    pi.add_argument("--refine-iters", type=int, default=1)
+    pi.add_argument("--pq-m", type=int, default=0,
+                    help="PQ subspaces (0 = no PQ: corpus artifact keeps"
+                         " raw vectors)")
+    pi.add_argument("--pq-codes", type=int, default=256)
+    pi.add_argument("--train-fraction", type=float, default=None,
+                    help="bound PQ training to a hash sample of the corpus")
+    pi.add_argument("--cores", type=int, default=None)
+    pi.add_argument("--shuffle-partitions", type=int, default=None)
+
+    ps = sub.add_parser(
+        "search", help="top-k query batch against an fpvs index"
+    )
+    ps.add_argument("--index", required=True, help="fpvs index directory")
+    ps.add_argument("--queries", required=True, help="query parquet")
+    ps.add_argument("--output", required=True)
+    ps.add_argument("--k", type=int, default=10)
+    ps.add_argument("--nprobe", type=int, default=8)
+    ps.add_argument("--shortlist", type=int, default=None,
+                    help="ADC shortlist size before re-rank (default 4k)")
+    ps.add_argument("--exact-rerank", action="store_true",
+                    help="re-rank the ADC shortlist exactly against the"
+                         " manifest's source table (PQ indexes only)")
+    ps.add_argument("--cores", type=int, default=None)
+    ps.add_argument("--shuffle-partitions", type=int, default=None)
+
     args = p.parse_args(argv)
     if args.cmd == "package":
         print(make_pyfiles_zip(args.out))
         return 0
+    if args.cmd == "index":
+        return cmd_index(args)
+    if args.cmd == "search":
+        return cmd_search(args)
     if args.cmd in ("run", "curate") and not (args.input or args.synthetic):
         p.error(f"{args.cmd} needs --input or --synthetic")
     if args.cmd == "curate":

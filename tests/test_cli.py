@@ -542,3 +542,66 @@ def test_cli_curate_line_dedup_min_docs_is_validated(tmp_path, capsys):
               "--line-dedup", "1"])
     assert exc.value.code == 2  # argparse usage error
     assert "MIN_DOCS must be >= 2" in capsys.readouterr().err
+
+
+def test_cli_index_and_search_pq_roundtrip(tmp_path, spark):
+    """index --pq-m builds centroids + codebooks + a code-only corpus
+    artifact; search --exact-rerank with a corpus-covering shortlist and
+    full probes reproduces exact cosine top-k bit-for-bit."""
+    from faang_pydantics_validation_spark import fixtures
+    from faang_pydantics_validation_spark.ops import similarity as sim
+
+    src = str(tmp_path / "emb")
+    fixtures.embeddings_table(spark, 400, dim=16, partitions=4,
+                              n_clusters=8).write.parquet(src)
+    emb = spark.read.parquet(src)
+    qsrc = str(tmp_path / "queries")
+    emb.filter("vec_id % 100 = 0").write.parquet(qsrc)
+
+    idx = str(tmp_path / "idx")
+    assert main(["index", "--input", src, "--output", idx,
+                 "--cells", "8", "--pq-m", "4", "--pq-codes", "16",
+                 "--cores", "4"]) == 0
+    manifest = json.load(open(f"{idx}/index.json"))
+    assert manifest["rows"] == 400 and manifest["n_cells"] == 8
+    assert manifest["pq_m"] == 4 and manifest["pq_codes"] == 16
+    corpus_cols = set(spark.read.parquet(f"{idx}/corpus").columns)
+    assert corpus_cols == {"vec_id", "cell", "pq_code", "pq_rnorm"}
+
+    out = str(tmp_path / "res")
+    assert main(["search", "--index", idx, "--queries", qsrc,
+                 "--output", out, "--k", "5", "--nprobe", "8",
+                 "--shortlist", "400", "--exact-rerank",
+                 "--cores", "4"]) == 0
+    got = sorted(
+        (r.query_id, r.neighbor_id, r.score, r.rank)
+        for r in spark.read.parquet(f"{out}/results").collect()
+    )
+    exact = sorted(
+        (r.query_id, r.neighbor_id, r.score, r.rank)
+        for r in sim.cosine_topk(
+            emb, emb.filter("vec_id % 100 = 0"), k=5
+        ).collect()
+    )
+    assert got == exact
+
+
+def test_cli_index_search_without_pq_keeps_vectors(tmp_path, spark):
+    from faang_pydantics_validation_spark import fixtures
+
+    src = str(tmp_path / "emb2")
+    fixtures.embeddings_table(spark, 300, dim=16, partitions=4,
+                              n_clusters=8).write.parquet(src)
+    idx = str(tmp_path / "idx2")
+    assert main(["index", "--input", src, "--output", idx,
+                 "--cells", "8", "--cores", "4"]) == 0
+    assert "embedding" in spark.read.parquet(f"{idx}/corpus").columns
+    qsrc = str(tmp_path / "q2")
+    spark.read.parquet(src).filter("vec_id % 75 = 0").write.parquet(qsrc)
+    out = str(tmp_path / "res2")
+    assert main(["search", "--index", idx, "--queries", qsrc,
+                 "--output", out, "--k", "3", "--nprobe", "8",
+                 "--cores", "4"]) == 0
+    res = spark.read.parquet(f"{out}/results")
+    assert res.count() == 4 * 3  # 4 queries x k
+    assert res.filter("rank < 1 or rank > 3").count() == 0
