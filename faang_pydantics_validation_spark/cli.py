@@ -491,21 +491,24 @@ def cmd_curate(args) -> int:
                 f" got {probes.columns}"
             )
         # probes below the n-gram width yield ZERO n-grams and are
-        # invisible to the containment scan — screen them by
-        # whitespace-normalized exact-substring containment instead
-        # (the published fallback for short eval strings; see
-        # ops/text.decontaminate). Probe tables are benchmark-sized, so
-        # the count gating the extra pass costs one tiny agg.
-        pnorm = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
-        short_probes = (
-            probes.select(pnorm.alias("__pnorm"))
-            .filter(
-                (F.size(F.split(F.col("__pnorm"), " ")) < 8)
-                & (F.length(F.col("__pnorm")) > 0)
-            )
-            .distinct()
+        # invisible to the containment scan — screen them via the
+        # shared ops/text.short_probe_hits helper (case-folded,
+        # whitespace-normalized substring containment; one copy of the
+        # logic so library and CLI can never diverge on which docs are
+        # contaminated).
+        from faang_pydantics_validation_spark.ops.text import (
+            short_probe_hits,
         )
-        n_short = short_probes.count()
+
+        survivors = curated.filter("kept").select("record_id", "content")
+        n_short, short_hit_ids = short_probe_hits(
+            survivors,
+            probes,
+            id_col="record_id",
+            text_col="content",
+            probe_text_col="text",
+            n=8,
+        )
         if n_short:
             print(
                 f"note: {n_short} probe(s) shorter than the 8-token"
@@ -513,7 +516,6 @@ def cmd_curate(args) -> int:
                 " instead",
                 file=sys.stderr,
             )
-        survivors = curated.filter("kept").select("record_id", "content")
         hits = contamination_matches(
             survivors,
             probes,
@@ -521,16 +523,8 @@ def cmd_curate(args) -> int:
             text_col="content",
             min_containment=args.decontaminate_containment,
         ).select("record_id")
-        if n_short:
-            dnorm = F.regexp_replace(F.trim(F.col("content")), r"\s+", " ")
-            hits = hits.union(
-                survivors.select("record_id", dnorm.alias("__dnorm"))
-                .join(
-                    F.broadcast(short_probes),
-                    F.col("__dnorm").contains(F.col("__pnorm")),
-                )
-                .select("record_id")
-            )
+        if short_hit_ids is not None:
+            hits = hits.union(short_hit_ids)
         hits = (
             hits.distinct()
             # benchmark-sized; materialize once instead of re-running the
@@ -887,7 +881,14 @@ def cmd_search(args) -> int:
     them, raw cosine otherwise), optionally re-rank the shortlist
     exactly against the manifest's source table, write one parquet of
     (query_id, neighbor_id, score, rank) and print a one-line JSON
-    summary."""
+    summary.
+
+    By default a corpus candidate whose id EQUALS the query id is
+    dropped (self-exclusion — correct when the query batch is drawn
+    from the indexed corpus itself, the dedup/audit use). External
+    query batches whose ids are unrelated to the corpus id space must
+    pass ``--include-self``, or any accidental id collision silently
+    hides that corpus vector from the ranking."""
     from pyspark.sql import SparkSession
 
     from faang_pydantics_validation_spark.ops import similarity as sim
@@ -924,6 +925,7 @@ def cmd_search(args) -> int:
             rerank=rerank_df,
             rerank_vec_col=manifest["vec_col"],
             shortlist=args.shortlist,
+            exclude_self=not args.include_self,
         )
     else:
         out = sim.cosine_topk_ivf(
@@ -936,6 +938,7 @@ def cmd_search(args) -> int:
             vec_col=manifest["vec_col"],
             query_id_col=manifest["id_col"],
             cell_col="cell",
+            exclude_self=not args.include_self,
         )
     out.write.mode("overwrite").parquet(f"{args.output}/results")
     n = spark.read.parquet(f"{args.output}/results").count()
@@ -945,6 +948,7 @@ def cmd_search(args) -> int:
         "nprobe": args.nprobe,
         "pq": bool(manifest["pq_m"]),
         "exact_rerank": bool(args.exact_rerank and manifest["pq_m"]),
+        "exclude_self": not args.include_self,
         "wall_sec": round(time.monotonic() - t0, 2),
     }
     print(json.dumps(summary))
@@ -1083,6 +1087,12 @@ def main(argv=None) -> int:
     ps.add_argument("--exact-rerank", action="store_true",
                     help="re-rank the ADC shortlist exactly against the"
                          " manifest's source table (PQ indexes only)")
+    ps.add_argument("--include-self", action="store_true",
+                    help="keep corpus candidates whose id equals the"
+                         " query id (REQUIRED for external query"
+                         " batches whose ids are unrelated to the"
+                         " corpus id space; the default drop-same-id"
+                         " is for querying the corpus against itself)")
     ps.add_argument("--cores", type=int, default=None)
     ps.add_argument("--shuffle-partitions", type=int, default=None)
 

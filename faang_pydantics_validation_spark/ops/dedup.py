@@ -569,8 +569,12 @@ def dedup_lines_corpus(
     cross-document boilerplate (license headers, nav bars, cookie
     banners) that document-level dedup can never see.
 
-    Matching is on ``trim`` + collapsed internal whitespace, so
-    indentation variants of the same boilerplate line merge; lines
+    Matching is on collapsed-then-trimmed whitespace (``\\s+`` → one
+    space, THEN trim — so tab/space indentation and CRLF/LF variants of
+    the same boilerplate line all merge); a "document" for the
+    ``min_docs`` threshold is a distinct ``(id, text)`` pair, so
+    duplicate ids with different payloads count separately and are
+    rewritten independently; lines
     shorter than ``min_line_chars`` after normalization are never
     candidates (otherwise ``}`` and ``*/`` would vanish from every
     file). A line repeated many times inside ONE document is kept —
@@ -607,27 +611,50 @@ def dedup_lines_corpus(
     the pytest mirror pins semantics against exact string grouping.
     """
     lines_arr = F.split(F.col(text_col), r"\n")
-    norm = F.regexp_replace(F.trim(F.col("__ldc_line")), r"\s+", " ")
+    # collapse FIRST, trim SECOND: F.trim strips only ASCII spaces, so
+    # trim-then-collapse left a residual leading space from tab
+    # indentation and a trailing space from CRLF '\r' — tab-indented or
+    # CRLF copies of a boilerplate line never merged with their
+    # space/LF variants. Collapsing \s+ first turns every edge run
+    # (tabs, \r, unicode-space-free Java \s) into a plain space trim
+    # CAN strip.
+    norm = F.trim(F.regexp_replace(F.col("__ldc_line"), r"\s+", " "))
+    # Documents are keyed by (id, xxhash64(text)), not id alone: ids
+    # are not guaranteed unique upstream (curate's repo:path@commit can
+    # recur across re-ingests with DIFFERENT payloads), and an id-only
+    # join-back would apply positions discovered in one row's text to
+    # every row sharing the id — deleting non-boilerplate lines. Exact
+    # duplicate rows (same id AND text) share positions by construction,
+    # so the composite key is always safe.
+    doc_key = F.xxhash64(F.col(text_col)).alias("__ldc_th")
     cand = (
         df.select(
             F.col(id_col).alias("__ldc_id"),
+            doc_key,
             F.posexplode(lines_arr).alias("__ldc_pos", "__ldc_line"),
         )
         .withColumn("__ldc_norm", norm)
         .filter(F.length("__ldc_norm") >= min_line_chars)
         .select(
-            "__ldc_id", "__ldc_pos", F.xxhash64("__ldc_norm").alias("__ldc_h")
+            "__ldc_id",
+            "__ldc_th",
+            "__ldc_pos",
+            F.xxhash64("__ldc_norm").alias("__ldc_h"),
         )
     )
     repeated = (
         cand.groupBy("__ldc_h")
-        .agg(F.count_distinct("__ldc_id").alias("__ldc_docs"))
+        .agg(
+            F.count_distinct(
+                F.struct("__ldc_id", "__ldc_th")
+            ).alias("__ldc_docs")
+        )
         .filter(F.col("__ldc_docs") >= min_docs)
         .select("__ldc_h")
     )
     removed = (
         cand.join(repeated, "__ldc_h", "left_semi")
-        .groupBy("__ldc_id")
+        .groupBy("__ldc_id", "__ldc_th")
         .agg(F.sort_array(F.collect_list("__ldc_pos")).alias("__ldc_removed"))
     )
     rebuilt = F.when(
@@ -642,7 +669,12 @@ def dedup_lines_corpus(
         )
     )
     return (
-        df.join(removed, df[id_col] == removed["__ldc_id"], "left")
+        df.join(
+            removed,
+            (df[id_col] == removed["__ldc_id"])
+            & (F.xxhash64(df[text_col]) == removed["__ldc_th"]),
+            "left",
+        )
         .withColumns(
             {
                 out_col: F.when(F.col(text_col).isNotNull(), rebuilt),
@@ -651,5 +683,5 @@ def dedup_lines_corpus(
                 ),
             }
         )
-        .drop("__ldc_id", "__ldc_removed")
+        .drop("__ldc_id", "__ldc_th", "__ldc_removed")
     )

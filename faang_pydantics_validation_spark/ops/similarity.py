@@ -381,6 +381,7 @@ def ivf_assign(
     cell_col: str = "cell",
     centroid_cell_col: str = "cell",
     centroid_vec_col: str = "centroid",
+    score_col: str | None = None,
 ) -> DataFrame:
     """IVF cell assignment, computed ROW-LOCALLY: argmax-cosine is an
     expression fold over the centroid array — the corpus is never
@@ -393,7 +394,21 @@ def ivf_assign(
     ``centroid_vec_col``), which rides the broadcast single-row join
     (:func:`_broadcast_centroid_row`); an over-ceiling list is promoted
     to the broadcast path automatically. Same semantics, same scores,
-    either way."""
+    either way.
+
+    ``score_col`` additionally emits the (6-dp-rounded) cosine to the
+    ASSIGNED centroid — free, it is the argmax's own winning score;
+    :func:`semdedup` ranks duplicate-group members by it."""
+
+    def _with_best(staged: DataFrame, cents: Column) -> DataFrame:
+        best = F.array_max(
+            _cell_scores(F.col(vec_col), cents, F.col("__vnorm"))
+        )
+        out = staged.withColumn(cell_col, -best["nc"])
+        if score_col is not None:
+            out = out.withColumn(score_col, best["score"])
+        return out
+
     if not isinstance(centroids, DataFrame):
         dim = len(centroids[0][1]) if centroids else 0
         if len(centroids) * dim > IVF_LITERAL_MAX_FLOATS:
@@ -404,18 +419,12 @@ def ivf_assign(
                 centroids, centroid_cell_col, centroid_vec_col
             )
         )
-        best = F.array_max(
-            _cell_scores(F.col(vec_col), F.col("__cents"), F.col("__vnorm"))
-        )
-        return (
-            staged.withColumn(cell_col, -best["nc"])
-            .drop("__cents")
-            .drop("__vnorm")
+        return _with_best(staged, F.col("__cents")).drop(
+            "__cents", "__vnorm"
         )
     cents = _centroid_literal(centroids)
     staged = df.withColumn("__vnorm", norm(F.col(vec_col)))
-    best = F.array_max(_cell_scores(F.col(vec_col), cents, F.col("__vnorm")))
-    return staged.withColumn(cell_col, -best["nc"]).drop("__vnorm")
+    return _with_best(staged, cents).drop("__vnorm")
 
 
 def select_ivf_centroids(
@@ -451,6 +460,9 @@ def select_ivf_centroids(
     """
     import math
 
+    # NULL vectors can't seed or shift a centroid (and a NULL seed row
+    # would crash the float() unpack below)
+    df = df.filter(F.col(vec_col).isNotNull())
     if n_cells is None:
         n_cells = max(16, math.isqrt(df.count()))
     seeds = (
@@ -519,6 +531,9 @@ def train_ivf_centroids(
     """
     import math
 
+    # NULL vectors can't seed or shift a centroid — drop them up front
+    # (same contract as select_ivf_centroids / train_pq_codebooks)
+    df = df.filter(F.col(vec_col).isNotNull())
     if n_cells is None:
         n_cells = max(16, math.isqrt(df.count()))
     order = [F.xxhash64(F.col("__id")), F.col("__id")]
@@ -865,6 +880,69 @@ def _pq_codebook_row(codebooks: DataFrame) -> DataFrame:
     return F.broadcast(row)
 
 
+def _probe_dim(df: DataFrame, vec_col: str) -> int:
+    """Vector width via ONE max agg over ``size(vec)`` — NULL-safe: a
+    ``limit(1)`` probe is partition-order-dependent and blows up
+    (``int(None)``) whenever the arbitrary first row happens to carry a
+    NULL vector, which is in-contract for every PQ entry point. Raises
+    when no non-null vector exists (there is nothing to encode or
+    train on, and a silent dim of 0 would corrupt downstream slicing).
+    """
+    row = df.agg(F.max(F.size(vec_col)).alias("d")).collect()[0]
+    if row["d"] is None:
+        raise ValueError(
+            f"cannot probe vector dim: no non-null {vec_col!r} values"
+        )
+    return int(row["d"])
+
+
+def _pq_query_dsub(
+    queries: DataFrame, codebooks: DataFrame, m: int, query_vec_col: str
+) -> int:
+    """Validated per-subspace width for the ADC query table. The
+    corpus-side encode path raises on a dim/m mismatch; the query side
+    used to truncate ``size(vec)/m`` silently, misaligning every
+    subvector slice against the codebook's coordinate blocks and
+    returning garbage rankings with no error. Probe both sides (two
+    tiny driver jobs: queries are batch-sized, codebooks m×n_codes
+    rows) and fail fast on any mismatch."""
+    qdim = _probe_dim(queries, query_vec_col)
+    cb_dsub = _probe_dim(codebooks, "centroid")
+    if qdim % m != 0:
+        raise ValueError(f"query dim {qdim} not divisible by m {m}")
+    if qdim // m != cb_dsub:
+        raise ValueError(
+            f"query dim {qdim} / m {m} = {qdim // m} does not match the"
+            f" codebook subspace width {cb_dsub}"
+        )
+    return cb_dsub
+
+
+def _pq_query_table(query_vec_col: str, m: int, d_sub: int) -> Column:
+    """The per-query ADC distance table: dot of every codebook centroid
+    with the query's matching subvector, ordered by (subspace, code) so
+    candidate-side lookups are positional. ``d_sub`` is the validated
+    literal width from :func:`_pq_query_dsub`, so the slice bounds are
+    plan constants."""
+    return F.array_sort(
+        F.transform(
+            F.col("__cb"),
+            lambda e: F.struct(
+                e["subspace"].alias("subspace"),
+                e["code"].alias("code"),
+                dot(
+                    F.slice(
+                        F.col(query_vec_col).cast("array<double>"),
+                        e["subspace"] * d_sub + 1,
+                        d_sub,
+                    ),
+                    e["c"],
+                ).alias("d"),
+            ),
+        )
+    )
+
+
 def _pq_argmin(sub: Column, codes: Column) -> Column:
     """struct<dist, code>: the L2-nearest code for one subvector —
     ``array_min`` over (c2 − 2·dot, code) so ties break toward the
@@ -921,11 +999,14 @@ def train_pq_codebooks(
     centroid array<double>)``.
     """
     if dim is None:
-        probe = df.select(F.size(vec_col).alias("d")).limit(1).collect()
-        dim = int(probe[0]["d"]) if probe else 0
+        dim = _probe_dim(df, vec_col)
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     d_sub = dim // m
+    # NULL vectors are in-contract for ENCODE (they get NULL codes) but
+    # carry nothing to train on — and a NULL row drawn into the seed
+    # sample would plant NULL centroids in the codebook.
+    df = df.filter(F.col(vec_col).isNotNull())
     if train_fraction is not None and train_fraction < 1.0:
         df = df.filter(
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_000))
@@ -939,6 +1020,20 @@ def train_pq_codebooks(
         .limit(n_codes)
         .withColumn("__rn", F.row_number().over(Window.orderBy(*order)))
     )
+    # Fail fast on seed underfill: every consumer (encode slices,
+    # ADC element_at) addresses the broadcast codebook POSITIONALLY as
+    # subspace*n_codes+code, so a codebook with fewer than n_codes
+    # entries per subspace silently reads the wrong subspace's
+    # centroids (or, under ANSI mode, dies with INVALID_ARRAY_INDEX at
+    # query time, far from the cause).
+    n_seed = seeds.count()
+    if n_seed < n_codes:
+        raise ValueError(
+            f"PQ training sample has {n_seed} rows < n_codes={n_codes};"
+            " lower n_codes or raise train_fraction (codebooks are"
+            " addressed positionally and must hold exactly n_codes"
+            " codes per subspace)"
+        )
     codebooks = seeds.select(
         F.explode(
             F.array(
@@ -1042,8 +1137,7 @@ def pq_encode(
     NULL vectors get NULL codes/rnorm.
     """
     cb = F.col("__cb")
-    dim_probe = df.select(F.size(vec_col).alias("d")).limit(1).collect()
-    dim = int(dim_probe[0]["d"]) if dim_probe else 0
+    dim = _probe_dim(df, vec_col)
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     d_sub = dim // m
@@ -1122,24 +1216,8 @@ def pq_topk(
     of corpus cost. With ``shortlist >= |corpus|`` the result equals
     :func:`cosine_topk` bit-for-bit.
     """
-    qtab = F.array_sort(
-        F.transform(
-            F.col("__cb"),
-            lambda e: F.struct(
-                e["subspace"].alias("subspace"),
-                e["code"].alias("code"),
-                dot(
-                    F.slice(
-                        F.col(query_vec_col).cast("array<double>"),
-                        e["subspace"]
-                        * (F.size(query_vec_col) / F.lit(m)).cast("int")
-                        + 1,
-                        (F.size(query_vec_col) / F.lit(m)).cast("int"),
-                    ),
-                    e["c"],
-                ).alias("d"),
-            ),
-        )
+    qtab = _pq_query_table(
+        query_vec_col, m, _pq_query_dsub(queries, codebooks, m, query_vec_col)
     )
     q = F.broadcast(
         queries.crossJoin(_pq_codebook_row(codebooks)).select(
@@ -1269,24 +1347,8 @@ def cosine_topk_ivfpq(
         cents = F.col("__cents")
     else:
         cents = _centroid_literal(centroids)
-    qtab = F.array_sort(
-        F.transform(
-            F.col("__cb"),
-            lambda e: F.struct(
-                e["subspace"].alias("subspace"),
-                e["code"].alias("code"),
-                dot(
-                    F.slice(
-                        F.col(query_vec_col).cast("array<double>"),
-                        e["subspace"]
-                        * (F.size(query_vec_col) / F.lit(m)).cast("int")
-                        + 1,
-                        (F.size(query_vec_col) / F.lit(m)).cast("int"),
-                    ),
-                    e["c"],
-                ).alias("d"),
-            ),
-        )
+    qtab = _pq_query_table(
+        query_vec_col, m, _pq_query_dsub(queries, codebooks, m, query_vec_col)
     )
     probes = (
         qsrc.withColumn("__qnorm", norm(F.col(query_vec_col)))

@@ -971,6 +971,69 @@ def lm_perplexity_buckets(
     ).withColumn("lm_bucket", bucket).drop("n_tokens")
 
 
+def _short_probe_norm(col: Column) -> Column:
+    """Shared normal form for BOTH sides of the short-probe substring
+    screen: collapse ``\\s+`` to one space, trim, casefold. Lowercased
+    because the n-gram containment path lowercases everything
+    (:func:`_word_ngrams`) — a case-sensitive substring screen would
+    silently miss short probes whose only difference is casing, which
+    the long-probe path WOULD catch."""
+    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+def short_probe_hits(
+    corpus: DataFrame,
+    probes: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    probe_text_col: str = "text",
+    n: int = 8,
+) -> tuple[int, DataFrame | None]:
+    """``(n_short, hits)``: the count of probes shorter than the
+    ``n``-gram width and the distinct corpus ids containing any of them
+    as a whitespace-normalized, case-folded substring (``None`` when
+    every probe is n-gram-checkable). Empty / whitespace-only probes
+    are excluded — an empty substring matches everything.
+
+    Probe tables are benchmark-sized by contract (they broadcast for
+    the containment scan), so the gating count is one trivially cheap
+    job — and it keeps the per-row normalize+contains pass out of the
+    plan entirely in the common all-long case. The short-probe set
+    broadcasts; the contains check is a row-local nested loop, so the
+    corpus never shuffles. One shared implementation: the library
+    (:func:`decontaminate`) and the ``curate`` CLI previously carried
+    diverging copies of this logic."""
+    from pyspark.sql.functions import broadcast
+
+    shorts = (
+        probes.select(
+            _short_probe_norm(F.col(probe_text_col)).alias("__pnorm")
+        )
+        .filter(
+            (F.size(F.split(F.col("__pnorm"), " ")) < n)
+            & (F.length(F.col("__pnorm")) > 0)
+        )
+        .distinct()
+    )
+    n_short = shorts.count()
+    if n_short == 0:
+        return 0, None
+    hits = (
+        corpus.select(
+            F.col(id_col),
+            _short_probe_norm(F.col(text_col)).alias("__dnorm"),
+        )
+        .join(
+            broadcast(shorts),
+            F.col("__dnorm").contains(F.col("__pnorm")),
+        )
+        .select(id_col)
+        .distinct()
+    )
+    return n_short, hits
+
+
 def decontaminate(
     corpus: DataFrame,
     probes: DataFrame,
@@ -993,7 +1056,8 @@ def decontaminate(
     invisible to the containment scan — the one failure a
     decontamination stage must not hide (QA benchmarks are full of
     sub-8-token answers). ``short_probe_mode="substring"`` (default)
-    screens them by whitespace-normalized exact-substring containment,
+    screens them by case-folded, whitespace-normalized exact-substring
+    containment (case-folded to match the n-gram path's lowercasing),
     the published fallback for short eval strings; ``"skip"`` restores
     n-gram-only semantics (callers then own the screening). Empty /
     whitespace-only probes are ignored in either mode (an empty
@@ -1021,34 +1085,15 @@ def decontaminate(
         min_containment=min_containment,
     ).select(id_col).distinct()
     if short_probe_mode == "substring":
-        pnorm = F.regexp_replace(
-            F.trim(F.col(probe_text_col)), r"\s+", " "
+        _n_short, short_hits = short_probe_hits(
+            corpus,
+            probes,
+            id_col=id_col,
+            text_col=text_col,
+            probe_text_col=probe_text_col,
+            n=n,
         )
-        shorts = (
-            probes.select(pnorm.alias("__pnorm"))
-            .filter(
-                (F.size(F.split(F.col("__pnorm"), " ")) < n)
-                & (F.length(F.col("__pnorm")) > 0)
-            )
-            .distinct()
-        )
-        # probe tables are benchmark-sized by contract (they broadcast
-        # for the scan above), so this count is trivially cheap — and it
-        # keeps the per-row normalize+contains pass out of the plan
-        # entirely when every probe is n-gram-checkable
-        if shorts.count() > 0:
-            dnorm = F.regexp_replace(
-                F.trim(F.col(text_col)), r"\s+", " "
-            )
-            short_hits = (
-                corpus.select(F.col(id_col), dnorm.alias("__dnorm"))
-                .join(
-                    broadcast(shorts),
-                    F.col("__dnorm").contains(F.col("__pnorm")),
-                )
-                .select(id_col)
-                .distinct()
-            )
+        if short_hits is not None:
             hits = hits.union(short_hits).distinct()
     elif short_probe_mode != "skip":
         raise ValueError(

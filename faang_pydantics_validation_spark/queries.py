@@ -1019,7 +1019,7 @@ lines AS (
 ),
 normed AS (
   SELECT doc_id, pos, line,
-         regexp_replace(trim(line), '[ \t\n\x0B\f\r]+', ' ', 'g') AS norm
+         trim(regexp_replace(line, '[ \t\n\x0B\f\r]+', ' ', 'g')) AS norm
   FROM lines
 ),
 rep AS (

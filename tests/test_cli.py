@@ -605,3 +605,15 @@ def test_cli_index_search_without_pq_keeps_vectors(tmp_path, spark):
     res = spark.read.parquet(f"{out}/results")
     assert res.count() == 4 * 3  # 4 queries x k
     assert res.filter("rank < 1 or rank > 3").count() == 0
+    # self-exclusion is for corpus-vs-itself queries; an external batch
+    # passes --include-self so an id collision can't hide a candidate.
+    # Querying the corpus against itself WITH the flag, every query's
+    # rank-1 hit must be itself at cosine ~1.
+    out3 = str(tmp_path / "res3")
+    assert main(["search", "--index", idx, "--queries", qsrc,
+                 "--output", out3, "--k", "3", "--nprobe", "8",
+                 "--include-self", "--cores", "4"]) == 0
+    top = spark.read.parquet(f"{out3}/results").filter("rank = 1").collect()
+    assert len(top) == 4
+    assert all(r.query_id == r.neighbor_id and r.score > 0.999999
+               for r in top)

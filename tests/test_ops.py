@@ -1247,13 +1247,16 @@ def test_decontaminate_drops_only_contaminated(spark):
 
 def test_decontaminate_short_probes_by_substring(spark):
     """Probes below the n-gram width are invisible to containment; the
-    default substring fallback must catch them (whitespace-normalized),
-    ignore empty probes, and stay off under short_probe_mode='skip'."""
+    default substring fallback must catch them (whitespace-normalized
+    AND case-folded — the n-gram path lowercases, so the short path
+    must too), ignore empty probes, and stay off under
+    short_probe_mode='skip'."""
     corpus = spark.createDataFrame(
         [
             (1, "the answer is   Paris\tobviously, everyone knows"),
             (2, "a completely unrelated training document body"),
-            (3, "paris in lowercase should NOT match case-sensitively"),
+            (3, "THE ANSWER IS PARIS, shouted the contestant"),
+            (4, "paris alone is not the whole probe"),
         ],
         "doc_id int, text string",
     )
@@ -1261,17 +1264,18 @@ def test_decontaminate_short_probes_by_substring(spark):
         [(1, "answer is Paris"), (2, "   "), (3, "")],
         "probe_id int, text string",
     )
-    # doc 1 contains the 3-token probe modulo whitespace runs; empty /
-    # whitespace probes must not nuke the corpus
+    # doc 1 contains the 3-token probe modulo whitespace runs; doc 3
+    # modulo CASING (the long n-gram path would catch it, so the short
+    # path must too); empty / whitespace probes must not nuke the corpus
     kept = {r.doc_id for r in tx.decontaminate(corpus, probes, n=8).collect()}
-    assert kept == {2, 3}
+    assert kept == {2, 4}
     kept_skip = {
         r.doc_id
         for r in tx.decontaminate(
             corpus, probes, n=8, short_probe_mode="skip"
         ).collect()
     }
-    assert kept_skip == {1, 2, 3}  # n-gram-only: short probes unseen
+    assert kept_skip == {1, 2, 3, 4}  # n-gram-only: short probes unseen
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
@@ -1344,6 +1348,52 @@ def test_dedup_lines_corpus_removes_cross_doc_boilerplate(spark):
     # NULL and empty text pass through
     assert rows[5].text_line_deduped is None and rows[5].n_lines_deduped == 0
     assert rows[6].text_line_deduped == "" and rows[6].n_lines_deduped == 0
+
+
+def test_dedup_lines_corpus_merges_tab_and_crlf_variants(spark):
+    """F.trim strips only spaces: the normal form must collapse \\s+
+    FIRST so tab-indented and CRLF copies of a boilerplate line merge
+    with their space/LF variants (the docstring's whole claim)."""
+    header = "// Copyright 2020 The Example Authors. All rights reserved."
+    doc_lf = "\n".join([header, "def alpha():", "    return 1"])
+    # tab-indented header, CRLF line endings throughout
+    doc_crlf = "\r\n".join(["\t" + header, "def beta():", "\treturn 2"])
+    df = spark.createDataFrame(
+        [(1, doc_lf), (2, doc_crlf)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in dd.dedup_lines_corpus(df).collect()}
+    assert rows[1].n_lines_deduped == 1
+    assert rows[2].n_lines_deduped == 1
+    assert rows[1].text_line_deduped == "def alpha():\n    return 1"
+    # the CRLF doc keeps its own raw line bytes (only the header goes)
+    assert rows[2].text_line_deduped == "def beta():\r\n\treturn 2"
+
+
+def test_dedup_lines_corpus_duplicate_ids_do_not_cross_contaminate(spark):
+    """Ids are not guaranteed unique upstream: two rows sharing an id
+    but carrying DIFFERENT text must be rewritten independently (an
+    id-only join-back would apply one row's removal positions to the
+    other, deleting unique lines), and each (id, text) pair counts as
+    its own document toward min_docs."""
+    shared = "boilerplate line shared across documents everywhere"
+    row_a = "\n".join([shared, "unique alpha body line here"])
+    row_b = "\n".join(["unique beta body line here", shared])
+    df = spark.createDataFrame(
+        [(1, row_a), (1, row_b), (2, "unrelated doc body")],
+        "doc_id long, text string",
+    )
+    out = dd.dedup_lines_corpus(df).collect()
+    got = {r.text_line_deduped for r in out if r.doc_id == 1}
+    # each variant loses ONLY its own copy of the shared line
+    assert got == {"unique alpha body line here", "unique beta body line here"}
+    assert all(r.n_lines_deduped == 1 for r in out if r.doc_id == 1)
+    # exact duplicate rows (same id AND text) count as ONE document:
+    # a line repeated only across true copies is not corpus boilerplate
+    df2 = spark.createDataFrame(
+        [(7, row_a), (7, row_a)], "doc_id long, text string"
+    )
+    out2 = dd.dedup_lines_corpus(df2).collect()
+    assert all(r.n_lines_deduped == 0 for r in out2)
 
 
 def test_dedup_lines_corpus_min_docs_threshold_and_full_removal(spark):
@@ -1575,6 +1625,68 @@ def test_pq_train_fraction_is_deterministic_subset(spark, vectors):
     assert sorted(map(tuple, cb_half.collect())) == sorted(
         map(tuple, again.collect())
     )
+
+
+def test_pq_underfilled_training_sample_raises(spark, vectors):
+    """Codebooks are addressed POSITIONALLY as subspace*n_codes+code by
+    every consumer — a training sample smaller than n_codes must fail
+    at train time, not corrupt rankings (or die with INVALID_ARRAY_INDEX)
+    at query time."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_codes"):
+        sim.train_pq_codebooks(vectors, m=4, n_codes=64, refine_iters=0)
+    # same guard through the train_fraction sampling path
+    with _pytest.raises(ValueError, match="n_codes"):
+        sim.train_pq_codebooks(
+            vectors, m=4, n_codes=8, refine_iters=0, train_fraction=0.01
+        )
+
+
+def test_pq_dim_probe_is_null_safe(spark, vectors):
+    """The dim probe must not depend on which row comes back first: a
+    corpus whose first row carries a NULL vector is in-contract (NULL
+    vectors get NULL codes), and an all-NULL corpus must raise a clear
+    error, not int(None)."""
+    nulled = spark.createDataFrame(
+        [(999, None)], "vec_id long, embedding array<float>"
+    ).union(vectors)
+    m, n_codes = 4, 8
+    cb = sim.train_pq_codebooks(nulled, m=m, n_codes=n_codes, refine_iters=0)
+    enc = {r.vec_id: r for r in
+           sim.pq_encode(nulled, cb, m=m, n_codes=n_codes).collect()}
+    assert enc[999].pq_code is None and enc[999].pq_rnorm is None
+    assert enc[0].pq_code is not None
+    import pytest as _pytest
+
+    all_null = spark.createDataFrame(
+        [(1, None), (2, None)], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(ValueError, match="non-null"):
+        sim.pq_encode(all_null, cb, m=m, n_codes=n_codes)
+
+
+def test_pq_topk_wrong_query_dim_raises(spark, vectors):
+    """The corpus-side encode raises on a dim/m mismatch; the query
+    side used to truncate size(vec)/m silently and score garbage. Both
+    a non-divisible query dim and a divisible-but-mismatched one must
+    fail fast."""
+    import pytest as _pytest
+
+    m, n_codes = 4, 8
+    cb = sim.train_pq_codebooks(vectors, m=m, n_codes=n_codes, refine_iters=0)
+    enc = sim.pq_encode(vectors, cb, m=m, n_codes=n_codes)
+    bad_width = spark.createDataFrame(
+        [(0, [1.0] * 10)], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(ValueError, match="divisible"):
+        sim.pq_topk(enc, bad_width, cb, m=m, n_codes=n_codes, k=3)
+    # divisible by m but a different subspace width than the codebook
+    mismatched = spark.createDataFrame(
+        [(0, [1.0] * 12)], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(ValueError, match="subspace width"):
+        sim.pq_topk(enc, mismatched, cb, m=m, n_codes=n_codes, k=3)
 
 
 def test_ivfpq_full_probe_full_shortlist_equals_exact(spark, vectors):

@@ -146,11 +146,12 @@ LINE_POOL = st.sampled_from([
     "short ln",                          # below min_line_chars: never removed
     "",                                  # blank: never removed
     "  shared boilerplate alpha line ",  # whitespace variant of pool[0]
+    "\tshared boilerplate alpha line\r",  # tab-indent + CR variant of pool[0]
 ])
 DOC_TEXT = st.one_of(
     st.none(),
     st.lists(
-        st.one_of(LINE_POOL, st.text(alphabet="xyz _", max_size=20)),
+        st.one_of(LINE_POOL, st.text(alphabet="xyz \t_", max_size=20)),
         min_size=0, max_size=6,
     ).map(lambda ls: "\n".join(ls)),
 )
