@@ -266,7 +266,51 @@ def ivf_crossover(spark) -> dict:
     }
     ivfpq_recall = len(ivfpq_pairs & exact_pairs) / max(len(exact_pairs), 1)
 
+    # SemDeDup over the same corpus: cluster + assign + within-cell
+    # pairs + component resolution + keep-one ('far') as ONE job graph,
+    # INCLUDING its own centroid training — dedup wants clusters of
+    # ~150 (pair work is quadratic per cell), not the search grid's
+    # n_cells, so the grid is sized n/150 per the op's contract. The
+    # clustered fixture (noise 0.3 around 256 topic centers) puts
+    # within-topic cosine ~0.92, so 0.95 prunes a realistic minority,
+    # not whole clusters.
+    sd_thr = float(os.environ.get("SPARK_GRAFT_BENCH_SEMDEDUP_THR", "0.95"))
+    # bounded leg: component resolution is iterative (O(log diameter)
+    # rounds of 2 shuffles each) and the clustered fixture's dup graph
+    # is dense, so the per-round bench runs it on a hash subsample —
+    # wall scales ~linearly in rows at fixed cluster size, which the
+    # n/150 cell rule maintains
+    sd_rows = int(os.environ.get("SPARK_GRAFT_BENCH_SEMDEDUP_ROWS", "20000"))
+    sd_corpus = emb.filter(
+        F.pmod(F.xxhash64(F.col("vec_id")), F.lit(max(n // sd_rows, 1)))
+        == 0
+    ) if n > sd_rows else emb
+    sd_cells = int(
+        os.environ.get(
+            "SPARK_GRAFT_BENCH_SEMDEDUP_CELLS",
+            str(max(64, min(n, sd_rows) // 150)),
+        )
+    )
+    t0 = time.monotonic()
+    sd = (
+        sim.semdedup(
+            sd_corpus, n_cells=sd_cells, refine_iters=1, threshold=sd_thr,
+            keep="far",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("semdedup_keep").cast("int")).alias("kept"),
+        )
+        .collect()[0]
+    )
+    wall_semdedup = time.monotonic() - t0
+
     return {
+        "wall_semdedup_sec": round(wall_semdedup, 3),
+        "semdedup_threshold": sd_thr,
+        "semdedup_rows": int(sd["n"]),
+        "semdedup_n_cells": sd_cells,
+        "semdedup_kept_frac": round(sd["kept"] / max(sd["n"], 1), 4),
         "rows": n,
         "dim": dim,
         "n_queries": n_q,
@@ -369,6 +413,53 @@ def code_ops_block(spark, n_rows: int) -> dict:
         F.avg("lm_logprob")
     ).collect()
     out["unigram_lm_score_sec"] = round(time.monotonic() - t0, 3)
+
+    # learned quality classifier (ops/classify): train on a labeled
+    # subsample (synthetic labels: the rule filter's own verdict — the
+    # bootstrap a real pipeline uses before human/gold labels exist),
+    # then score the FULL table row-locally off the broadcast weights.
+    # Train and score walls reported separately: training is per-model,
+    # scoring is the per-corpus recurring cost.
+    from faang_pydantics_validation_spark.ops import classify as clf
+
+    clf_train_rows = int(
+        os.environ.get("SPARK_GRAFT_BENCH_CLF_TRAIN_ROWS", "20000")
+    )
+    clf_iters = int(os.environ.get("SPARK_GRAFT_BENCH_CLF_ITERS", "3"))
+    tr = df.filter(
+        F.pmod(F.xxhash64("path"), F.lit(max(n_rows // clf_train_rows, 1)))
+        == 0
+    )
+    tr = cd.code_quality_filter(tr).select(
+        F.col("code_keep").cast("double").alias("label"),
+        F.col("content").alias("text"),
+    )
+    t0 = time.monotonic()
+    weights = clf.train_quality_classifier(
+        tr, n_features=1 << 18, iters=clf_iters
+    )
+    out["classifier_train_sec"] = round(time.monotonic() - t0, 3)
+    out["classifier_train_rows"] = clf_train_rows
+    out["classifier_train_iters"] = clf_iters
+    # scoring wall on the same subsample the other heavy per-row ops
+    # use (winnow/vocab/repetition), so the per-row costs compare
+    # directly; the logit fold is a higher-order function
+    # (CodegenFallback, ~150 µs/doc measured) — corpus-sized only,
+    # never pair-sized, so it rides the embarrassingly-parallel tier
+    t0 = time.monotonic()
+    clf.classifier_score(sub, weights, text_col="content").agg(
+        F.avg("quality_prob")
+    ).collect()
+    out["classifier_score_rows"] = n_sub
+    out["classifier_score_sec"] = round(time.monotonic() - t0, 3)
+    # the Arrow segment-sum scorer (standalone-pass mode; 2.4x in the
+    # archived alternating A/B) — benched beside the expression fold so
+    # the gap stays visible across rounds
+    t0 = time.monotonic()
+    clf.classifier_score(sub, weights, text_col="content", arrow=True).agg(
+        F.avg("quality_prob")
+    ).collect()
+    out["classifier_score_arrow_sec"] = round(time.monotonic() - t0, 3)
 
     # sequence packing: concat-and-chunk into 2048-token sequences over
     # 32 salted streams — ONE exchange (window + reassembly share the

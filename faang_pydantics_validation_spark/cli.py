@@ -274,11 +274,12 @@ CURATE_STAGES: tuple[tuple[int, str], ...] = (
     (1, "quality"),
     (2, "secrets"),
     (3, "repetition"),
-    (4, "license"),
-    (5, "exact_dedup"),
-    (6, "near_dup"),
-    (7, "decontaminate"),
-    (8, "mixture"),
+    (4, "classifier"),
+    (5, "license"),
+    (6, "exact_dedup"),
+    (7, "near_dup"),
+    (8, "decontaminate"),
+    (9, "mixture"),
 )
 
 
@@ -299,11 +300,12 @@ def _reason_stage(reason):
         F.when(reason.isin(*CODE_QUALITY_RULE_IDS), 1)
         .when(reason == "secrets", 2)
         .when(reason.startswith("rep_"), 3)
-        .when(reason == "restrictive_license", 4)
-        .when(reason == "exact_dup", 5)
-        .when(reason == "near_dup", 6)
-        .when(reason == "contaminated", 7)
-        .when(reason == "mixture", 8)
+        .when(reason == "low_classifier_score", 4)
+        .when(reason == "restrictive_license", 5)
+        .when(reason == "exact_dup", 6)
+        .when(reason == "near_dup", 7)
+        .when(reason == "contaminated", 8)
+        .when(reason == "mixture", 9)
         .otherwise(0)
     )
 
@@ -325,6 +327,11 @@ def cmd_curate(args) -> int:
     --repetition adds the Gopher-style repetitious-text screen
     (ops/text.repetition_filter) — still row-local, still fused into
     the same single pass as the other quality stages.
+    --quality-classifier WEIGHTS scores every doc with the trained
+    linear model (fpvs train-classifier; ops/classify) in the SAME
+    fused row-local pass — one single-row broadcast join — and drops
+    kept docs under --quality-prob-min; the probability joins the
+    written audit as quality_prob.
     --decontaminate PROBES drops survivors containing any eval probe
     (n-gram containment ≥ --decontaminate-containment): probes are
     broadcast for the scan and the contaminated-id set is broadcast for
@@ -385,12 +392,38 @@ def cmd_curate(args) -> int:
     ann = cd.detect_license(ann)
     if args.repetition:
         ann = tx.repetition_filter(ann, "content")
+    if args.quality_classifier:
+        # learned quality score (ops/classify): the weight table is a
+        # persisted artifact from `fpvs train-classifier`; scoring is a
+        # single-row broadcast join + row-local fold, so it fuses into
+        # the same annotate pass as the rule-based screens. The feature
+        # space is recovered from the artifact's own bias row.
+        from faang_pydantics_validation_spark.ops.classify import (
+            classifier_n_features,
+            classifier_score,
+        )
+
+        wdf = spark.read.parquet(args.quality_classifier)
+        ann = classifier_score(
+            ann,
+            wdf,
+            text_col="content",
+            n_features=classifier_n_features(wdf),
+            out_col="quality_prob",
+        )
     base_reasons = F.when(
         F.col("has_secrets"),
         F.array_append(F.col("code_drop_reasons"), F.lit("secrets")),
     ).otherwise(F.col("code_drop_reasons"))
     if args.repetition:
         base_reasons = F.concat(base_reasons, F.col("rep_drop_reasons"))
+    if args.quality_classifier:
+        # NULL prob (NULL content) adds no reason here — the NULL
+        # content already died at the quality stage, which owns it
+        base_reasons = F.when(
+            F.col("quality_prob") < F.lit(args.quality_prob_min),
+            F.array_append(base_reasons, F.lit("low_classifier_score")),
+        ).otherwise(base_reasons)
     if args.require_permissive_license:
         # unknown license (NULL) passes — unknown ≠ non-permissive;
         # an identified restrictive license drops
@@ -401,6 +434,7 @@ def cmd_curate(args) -> int:
     staged = ann.select(
         "repo", "path", "commit", "lang", "content", "license_id",
         *(["lines_deduped"] if args.line_dedup else []),
+        *(["quality_prob"] if args.quality_classifier else []),
         rid.alias("record_id"),
         F.sha2(F.col("content"), 256).alias("content_sha"),
         base_reasons.alias("__base_reasons"),
@@ -652,17 +686,19 @@ def cmd_curate(args) -> int:
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
-    active = {1, 2, 5}
+    active = {1, 2, 6}
     if args.repetition:
         active.add(3)
-    if args.require_permissive_license:
+    if args.quality_classifier:
         active.add(4)
+    if args.require_permissive_license:
+        active.add(5)
     if args.neardup:
-        active.add(6)
-    if args.decontaminate:
         active.add(7)
-    if args.mixture:
+    if args.decontaminate:
         active.add(8)
+    if args.mixture:
+        active.add(9)
     lineage, running = [], rows_in
     unknown = stage_drops.pop(0, 0)
     if unknown:
@@ -794,6 +830,127 @@ def cmd_curate(args) -> int:
     os.makedirs(args.output, exist_ok=True)
     with open(f"{args.output}/summary.json", "w") as f:
         json.dump(summary, f)
+    print(json.dumps(summary))
+    if owns_session:
+        spark.stop()
+    return 0
+
+
+def cmd_train_classifier(args) -> int:
+    """Train the hashed-n-gram linear quality classifier (ops/classify —
+    the GPT-3/CCNet CommonCrawl quality-scoring recipe with the
+    fastText feature map) from a GOLD corpus and a JUNK corpus, persist
+    the sparse weight table, and print a one-line JSON summary with the
+    training-set separation (mean probability per class). The artifact
+    feeds ``curate --quality-classifier`` directly; its bias row
+    encodes the feature-space size, so no side-channel config exists.
+    """
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from faang_pydantics_validation_spark.ops.classify import (
+        classifier_score,
+        train_quality_classifier,
+    )
+
+    owns_session = SparkSession.getActiveSession() is None
+    spark = _build_session(args)
+    spark.sparkContext.setLogLevel("WARN")
+    t0 = time.monotonic()
+
+    def _side(path: str, label: float) -> "DataFrame":
+        df = spark.read.parquet(path)
+        if args.text_col not in df.columns:
+            raise SystemExit(
+                f"{path} has no column {args.text_col!r}"
+                f" (columns: {df.columns}); pass --text-col"
+            )
+        return df.select(
+            F.lit(label).alias("label"),
+            F.col(args.text_col).alias("text"),
+        )
+
+    labeled = _side(args.gold, 1.0).unionByName(_side(args.junk, 0.0))
+    w = train_quality_classifier(
+        labeled,
+        n_features=args.features,
+        iters=args.iters,
+        lr=args.lr,
+        l2=args.l2,
+    )
+    w.write.mode("overwrite").parquet(args.output)
+    wdf = spark.read.parquet(args.output)
+    sep = {
+        ("gold" if r.label == 1.0 else "junk"): {
+            "n": int(r.n),
+            "mean_prob": round(float(r.p), 4),
+        }
+        for r in classifier_score(labeled, wdf, n_features=args.features)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"), F.avg("quality_prob").alias("p")
+        )
+        .collect()
+    }
+    summary = {
+        "output": args.output,
+        "features": args.features,
+        "iters": args.iters,
+        "lr": args.lr,
+        "l2": args.l2,
+        "separation": sep,
+        "wall_sec": round(time.monotonic() - t0, 2),
+    }
+    print(json.dumps(summary))
+    if owns_session:
+        spark.stop()
+    return 0
+
+
+def cmd_semdedup(args) -> int:
+    """Semantic dedup over an embedding table (ops/similarity.semdedup,
+    SemDeDup): writes the input annotated with (semdedup_cell,
+    semdedup_component, semdedup_keep) partitioned by the keep verdict —
+    the same audit-not-delete contract as curate — plus a one-line JSON
+    summary. Centroids train in-job (fully distributed) unless
+    --centroids points at a trained (cell, centroid) parquet."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from faang_pydantics_validation_spark.ops import similarity as sim
+
+    owns_session = SparkSession.getActiveSession() is None
+    spark = _build_session(args)
+    spark.sparkContext.setLogLevel("WARN")
+    df = spark.read.parquet(args.input)
+    cents = spark.read.parquet(args.centroids) if args.centroids else None
+    t0 = time.monotonic()
+    out = sim.semdedup(
+        df,
+        cents,
+        n_cells=args.cells,
+        refine_iters=args.refine_iters,
+        threshold=args.threshold,
+        keep=args.keep,
+        id_col=args.id_col,
+        vec_col=args.vec_col,
+    ).withColumn(
+        "status", F.when(F.col("semdedup_keep"), "kept").otherwise("dropped")
+    )
+    out.write.mode("overwrite").partitionBy("status").parquet(
+        f"{args.output}/deduped"
+    )
+    back = spark.read.parquet(f"{args.output}/deduped")
+    n = back.count()
+    kept = back.filter("status = 'kept'").count()
+    summary = {
+        "rows": n,
+        "kept": kept,
+        "dropped": n - kept,
+        "threshold": args.threshold,
+        "keep_policy": args.keep,
+        "wall_sec": round(time.monotonic() - t0, 2),
+    }
     print(json.dumps(summary))
     if owns_session:
         spark.stop()
@@ -1023,6 +1180,21 @@ def main(argv=None) -> int:
     pc.add_argument("--require-permissive-license", action="store_true",
                     help="drop files with an identified non-permissive license")
     pc.add_argument(
+        "--quality-classifier",
+        metavar="WEIGHTS_PARQUET",
+        help="score every doc with a trained linear quality classifier"
+        " (fpvs train-classifier) and drop kept docs scoring below"
+        " --quality-prob-min; the score joins the audit as quality_prob",
+    )
+    pc.add_argument(
+        "--quality-prob-min",
+        type=float,
+        default=0.5,
+        metavar="P",
+        help="classifier probability below which a doc drops"
+        " (default 0.5)",
+    )
+    pc.add_argument(
         "--decontaminate",
         metavar="PROBES_PARQUET",
         help="drop kept docs containing any probe from this parquet of"
@@ -1052,6 +1224,46 @@ def main(argv=None) -> int:
         "--shuffle-partitions", type=int, default=None,
         help="spark.sql.shuffle.partitions — size by DATA, not cores",
     )
+
+    pt = sub.add_parser(
+        "train-classifier",
+        help="train the linear quality classifier from gold/junk corpora",
+    )
+    pt.add_argument("--gold", required=True,
+                    help="parquet of reference-quality documents")
+    pt.add_argument("--junk", required=True,
+                    help="parquet of low-quality documents")
+    pt.add_argument("--output", required=True,
+                    help="weight-table parquet (feeds --quality-classifier)")
+    pt.add_argument("--text-col", default="content")
+    pt.add_argument("--features", type=int, default=1 << 18,
+                    help="hashed feature-space size (default 2^18)")
+    pt.add_argument("--iters", type=int, default=20)
+    pt.add_argument("--lr", type=float, default=0.5)
+    pt.add_argument("--l2", type=float, default=1e-6)
+    pt.add_argument("--cores", type=int, default=None)
+    pt.add_argument("--shuffle-partitions", type=int, default=None)
+
+    pd = sub.add_parser(
+        "semdedup",
+        help="semantic dedup over an embedding table (SemDeDup)",
+    )
+    pd.add_argument("--input", required=True, help="embedding parquet")
+    pd.add_argument("--output", required=True)
+    pd.add_argument("--centroids", default=None,
+                    help="trained (cell, centroid) parquet; omit to train")
+    pd.add_argument("--cells", type=int, default=None,
+                    help="cells to train (default sqrt(N); prefer N/150"
+                         " so the per-cell pair check stays bounded)")
+    pd.add_argument("--refine-iters", type=int, default=2)
+    pd.add_argument("--threshold", type=float, default=0.95)
+    pd.add_argument("--keep", choices=("far", "near", "min_id"),
+                    default="far",
+                    help="which group member survives (paper: far)")
+    pd.add_argument("--id-col", default="vec_id")
+    pd.add_argument("--vec-col", default="embedding")
+    pd.add_argument("--cores", type=int, default=None)
+    pd.add_argument("--shuffle-partitions", type=int, default=None)
 
     pi = sub.add_parser(
         "index",
@@ -1100,6 +1312,10 @@ def main(argv=None) -> int:
     if args.cmd == "package":
         print(make_pyfiles_zip(args.out))
         return 0
+    if args.cmd == "train-classifier":
+        return cmd_train_classifier(args)
+    if args.cmd == "semdedup":
+        return cmd_semdedup(args)
     if args.cmd == "index":
         return cmd_index(args)
     if args.cmd == "search":

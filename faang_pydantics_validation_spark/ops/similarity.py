@@ -780,6 +780,200 @@ def embedding_near_dup_pairs(
     return pairs.filter(F.col("score") >= threshold)
 
 
+def semdedup_pairs(
+    assigned: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    max_cluster_size: int | None = None,
+    round_dp: int | None = None,
+) -> DataFrame:
+    """Within-cluster semantic-duplicate pairs for :func:`semdedup`:
+    ``(id_a, id_b, score)`` where both rows share an IVF/k-means cell
+    (``assigned`` = output of :func:`ivf_assign`) and their cosine ≥
+    ``threshold``. This is SemDeDup's candidate structure (Abbas et
+    al. 2023, arXiv:2303.09540): the quadratic pair check runs inside
+    clusters only — the published trick that makes semantic dedup
+    feasible at corpus scale, identical in shape to this module's
+    LSH-bucketed near-dup but with k-means cells as the buckets.
+
+    Scale: pair fan-out per cell is |cell|² — size ``n_cells`` so
+    clusters stay bounded (the √N default in the trainers gives E[|cell|]
+    = √N; for dedup prefer n_cells ≈ N/1000 so the per-cell check is
+    ~10⁶ pairs). ``max_cluster_size`` drops over-full cells BEFORE
+    pairing (window count over the same hash(cell) partitioning the
+    self-join needs — no extra scan), bounding the worst cell; unlike
+    LSH buckets an over-full cell here means centroid under-provisioning,
+    so the default is None (exhaustive) and callers opting into the cap
+    own the coverage trade. Norms are hoisted once per row (3 folds →
+    1 per pair). NULL vectors never pair.
+
+    ``round_dp`` mirrors :func:`embedding_near_dup_pairs`: None
+    thresholds the raw cosine; oracle twins pass 6 for cross-engine
+    reproducibility."""
+    h = assigned.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(vec_col).alias("__vec"),
+        norm(F.col(vec_col)).alias("__nrm"),
+        F.col(cell_col).alias("__cell"),
+    ).filter(F.col("__vec").isNotNull())
+    if max_cluster_size is not None:
+        h = (
+            h.withColumn(
+                "__csz",
+                F.count("*").over(
+                    Window.partitionBy("__cell")
+                ),
+            )
+            .filter(F.col("__csz") <= max_cluster_size)
+            .drop("__csz")
+        )
+    left, right = h.alias("l"), h.alias("r")
+    pairs = left.join(
+        right,
+        (F.col("l.__cell") == F.col("r.__cell"))
+        & (F.col("l.doc_id") < F.col("r.doc_id")),
+    )
+    raw = cosine_pre(
+        dot(F.col("l.__vec"), F.col("r.__vec")),
+        F.col("l.__nrm"),
+        F.col("r.__nrm"),
+    )
+    pairs = pairs.select(
+        F.col("l.doc_id").alias("id_a"),
+        F.col("r.doc_id").alias("id_b"),
+        (F.round(raw, round_dp) if round_dp is not None else raw).alias(
+            "score"
+        ),
+    )
+    return pairs.filter(F.col("score") >= threshold)
+
+
+def semdedup(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]] | DataFrame | None = None,
+    *,
+    n_cells: int | None = None,
+    refine_iters: int = 2,
+    threshold: float = 0.95,
+    keep: str = "far",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_size: int | None = None,
+    max_iter: int = 25,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication over an embedding column — remove documents whose
+    MEANING duplicates another's even when no token overlaps (the tier
+    above MinHash: translated boilerplate, re-worded templates,
+    near-identical generated code). Appends three columns, drops none
+    (callers filter on the flag, so stage lineage stays reconcilable):
+
+    * ``semdedup_cell``      — the k-means cell (int);
+    * ``semdedup_component`` — the semantic-duplicate group id (NULL
+      for rows in no group — including NULL-vector rows);
+    * ``semdedup_keep``      — True for exactly one row per group
+      (and every ungrouped row).
+
+    Pipeline, each stage an existing scale-shaped op:
+
+    1. cluster — ``centroids`` given, or trained here by
+       :func:`train_ivf_centroids` (fully distributed Lloyd; nothing
+       driver-sized);
+    2. assign — :func:`ivf_assign` row-local argmax (corpus never
+       shuffles), emitting the assigned-centroid cosine for free;
+    3. pair — :func:`semdedup_pairs`, quadratic INSIDE cells only;
+    4. group — :func:`~faang_pydantics_validation_spark.ops.dedup.
+       duplicate_components` min-label/pointer-jumping over the pair
+       graph (pairs ≪ corpus);
+    5. keep — one representative per component via ONE ``min_by`` agg
+       keyed by component (duplicate-group-sized exchange; never a
+       window over the full corpus, whose NULL-component partition
+       would be a skew bomb), joined back broadcast-vs-AQE.
+
+    ``keep`` policies (ties always break to the smaller id):
+
+    * ``"far"``  — lowest cosine to the cluster centroid, the paper's
+      published choice (keeps edge examples, prunes the dense core);
+    * ``"near"`` — highest cosine to the centroid (prototype per group);
+    * ``"min_id"`` — smallest id (bit-stable under re-embedding; matches
+      :func:`~faang_pydantics_validation_spark.ops.dedup.
+      drop_duplicate_components`).
+
+    The transitive-closure grouping is deterministic and slightly
+    COARSER than the paper's greedy sequential sweep (A≈B, B≈C groups
+    {A,B,C} even if cos(A,C) < threshold) — order-independence is what
+    a distributed engine must pin; the paper's per-cluster iteration
+    order is an artifact of its single-GPU loop."""
+    if keep not in ("far", "near", "min_id"):
+        raise ValueError(
+            f"keep must be 'far', 'near' or 'min_id', got {keep!r}"
+        )
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            df,
+            n_cells=n_cells,
+            id_col=id_col,
+            vec_col=vec_col,
+            refine_iters=refine_iters,
+        )
+    assigned = ivf_assign(
+        df,
+        centroids,
+        id_col,
+        vec_col,
+        cell_col="semdedup_cell",
+        score_col="__csim",
+    )
+    from faang_pydantics_validation_spark.ops.dedup import (
+        duplicate_components,
+    )
+
+    pairs = semdedup_pairs(
+        assigned,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        cell_col="semdedup_cell",
+        max_cluster_size=max_cluster_size,
+    )
+    comps = duplicate_components(pairs, max_iter=max_iter).select(
+        F.col("doc_id").alias("__sd_id"),
+        F.col("component_id").alias("semdedup_component"),
+    )
+    labeled = assigned.join(
+        comps, assigned[id_col] == comps["__sd_id"], "left"
+    ).drop("__sd_id")
+    if keep == "far":
+        order_key = F.struct(F.col("__csim"), F.col(id_col))
+    elif keep == "near":
+        order_key = F.struct(-F.col("__csim"), F.col(id_col))
+    else:
+        order_key = F.struct(F.col(id_col))
+    keepers = (
+        labeled.filter(F.col("semdedup_component").isNotNull())
+        .groupBy("semdedup_component")
+        .agg(F.min_by(F.col(id_col), order_key).alias("__keep_id"))
+        .select(
+            F.col("semdedup_component").alias("__kc"), F.col("__keep_id")
+        )
+    )
+    return (
+        labeled.join(
+            keepers,
+            labeled["semdedup_component"] == keepers["__kc"],
+            "left",
+        )
+        .withColumn(
+            "semdedup_keep",
+            F.col("semdedup_component").isNull()
+            | (F.col(id_col) == F.col("__keep_id")),
+        )
+        .drop("__kc", "__keep_id", "__csim")
+    )
+
+
 def quantize_embeddings(
     df: DataFrame, vec_col: str = "embedding", *, out_prefix: str = "q"
 ) -> DataFrame:

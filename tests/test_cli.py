@@ -617,3 +617,106 @@ def test_cli_index_search_without_pq_keeps_vectors(tmp_path, spark):
     assert len(top) == 4
     assert all(r.query_id == r.neighbor_id and r.score > 0.999999
                for r in top)
+
+
+def test_cli_train_classifier_and_curate_quality_stage(tmp_path, spark):
+    """fpvs train-classifier writes a weight artifact whose bias row
+    encodes the feature space; curate --quality-classifier scores every
+    doc with it in the fused annotate pass, drops low scorers with
+    reason low_classifier_score, books them to the 'classifier' lineage
+    stage, and lands quality_prob in the written audit."""
+    def code_doc(j):
+        return "".join(
+            f"def helper_{j}_{k}(value):\n"
+            f"    return value * {k} + compute_offset(value, {k})\n"
+            for k in range(8)
+        )
+
+    def junk_doc(j):
+        # short lines so the RULE screens pass (no high_mean_line_len):
+        # only the learned classifier should be dropping these
+        return "\n".join(
+            f"zzz{j} qq{k} buy now spam cheap win" for k in range(20)
+        )
+
+    gold = str(tmp_path / "gold")
+    junk = str(tmp_path / "junk")
+    spark.createDataFrame(
+        [(code_doc(j),) for j in range(8)], "content string"
+    ).write.parquet(gold)
+    spark.createDataFrame(
+        [(junk_doc(j),) for j in range(8)], "content string"
+    ).write.parquet(junk)
+    weights = str(tmp_path / "weights")
+    rc = main(["train-classifier", "--gold", gold, "--junk", junk,
+               "--output", weights, "--features", str(1 << 12),
+               "--iters", "25", "--lr", "1.0", "--cores", "4"])
+    assert rc == 0
+    w = spark.read.parquet(weights)
+    assert set(w.columns) == {"feature", "weight"}
+
+    # curate input: half gold-like code, half junk prose — the rule
+    # screens keep both (junk_doc has no secrets/licence problems and
+    # passes length rules), so any classifier drop is attributable
+    rows = [("org/a", f"src/good_{j}.py", "a" * 40, "python", code_doc(j))
+            for j in range(3)]
+    rows += [("org/b", f"src/junk_{j}.py", "b" * 40, "python", junk_doc(j))
+             for j in range(3)]
+    src = str(tmp_path / "clf_src")
+    spark.createDataFrame(
+        rows,
+        "repo string, path string, commit string, lang string,"
+        " content string",
+    ).write.parquet(src)
+    out_dir = str(tmp_path / "clf_out")
+    rc = main(["curate", "--input", src, "--output", out_dir,
+               "--quality-classifier", weights, "--cores", "4"])
+    assert rc == 0
+    summary = json.load(open(f"{out_dir}/summary.json"))
+    cur = spark.read.parquet(f"{out_dir}/curated")
+    assert "quality_prob" in cur.columns
+    clf_dropped = cur.filter(
+        "array_contains(drop_reasons, 'low_classifier_score')"
+    ).collect()
+    assert clf_dropped, summary
+    assert all("junk_" in r.path for r in clf_dropped)
+    assert not [r for r in cur.filter("status = 'kept'").collect()
+                if "junk_" in r.path and r.quality_prob is not None
+                and r.quality_prob < 0.5]
+    stages = {s["stage"]: s for s in summary["stage_lineage"]}
+    assert "classifier" in stages
+    assert stages["classifier"]["dropped"] == len(clf_dropped)
+
+
+def test_cli_semdedup(tmp_path, spark):
+    """fpvs semdedup writes the keep-partitioned annotated table and a
+    reconciling summary; exactly one member of each tight duplicate
+    cluster survives and singletons all keep."""
+    from pyspark.sql import functions as F
+
+    from faang_pydantics_validation_spark import fixtures
+
+    src = str(tmp_path / "emb_sd")
+    fixtures.embeddings_table(spark, 300, dim=16, partitions=4,
+                              n_clusters=10, noise=0.01).write.parquet(src)
+    out = str(tmp_path / "sd_out")
+    rc = main(["semdedup", "--input", src, "--output", out,
+               "--cells", "10", "--threshold", "0.999",
+               "--cores", "4"])
+    assert rc == 0
+    back = spark.read.parquet(f"{out}/deduped")
+    n = back.count()
+    kept = back.filter("status = 'kept'").count()
+    assert n == 300
+    # noise 0.01 around 10 centers → every cluster is a near-exact dup
+    # family; keep-one leaves ~10 survivors (cell boundaries may split
+    # a family at most a few times)
+    assert kept < 30, kept
+    comp_sizes = (
+        back.filter("semdedup_component is not null")
+        .groupBy("semdedup_component")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("semdedup_keep").cast("int")).alias("k"))
+        .collect()
+    )
+    assert comp_sizes and all(r.k == 1 for r in comp_sizes)

@@ -389,6 +389,126 @@ def test_embedding_near_dup_bucket_cap(spark):
     assert uncapped.count() == 60 * 59 // 2
 
 
+def _py_cos(a, b):
+    import math
+
+    d = sum(float(x) * float(y) for x, y in zip(a, b))
+    na = math.sqrt(sum(float(x) ** 2 for x in a))
+    nb = math.sqrt(sum(float(y) ** 2 for y in b))
+    return d / (na * nb) if na and nb else 0.0
+
+
+def test_semdedup_matches_python_mirror(spark):
+    """semdedup with GIVEN centroids vs a pure-Python mirror: argmax
+    assignment (round-6 cosine, tie to smaller cell), within-cell pairs
+    at threshold, union-find components, keep='far' = lowest rounded
+    centroid-cosine with id tie-break."""
+    rows = []
+    # three tight semantic clusters + two singletons, dim 4
+    bases = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0], [0.6, 0.6, 0.2, 0.0]]
+    for i in range(18):
+        b = bases[i % 3]
+        rows.append((i, [v + 0.002 * (i // 3) for v in b]))
+    rows.append((100, [0.0, 0.0, 1.0, 0.0]))
+    rows.append((101, [0.0, 0.0, 0.0, 1.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [(0, [1.0, 0.1, 0.0, 0.0]), (1, [0.1, 1.0, 0.1, 0.0]),
+             (2, [0.0, 0.0, 1.0, 1.0])]
+    thr = 0.999
+    out = {r.vec_id: r for r in
+           sim.semdedup(df, cents, threshold=thr, keep="far").collect()}
+
+    # float32 storage: mirror must see the same values Spark folds
+    import numpy as np
+    f32 = {i: [float(np.float32(x)) for x in v] for i, v in rows}
+    cell = {i: min(range(3),
+                   key=lambda c: (-round(_py_cos(f32[i], cents[c][1]), 6), c))
+            for i in f32}
+    csim = {i: round(_py_cos(f32[i], cents[cell[i]][1]), 6) for i in f32}
+    parent = {i: i for i in f32}
+
+    def find(x):
+        while parent[x] != x:
+            x = parent[x]
+        return x
+
+    ids = sorted(f32)
+    for a in ids:
+        for b in ids:
+            if a < b and cell[a] == cell[b] and _py_cos(f32[a], f32[b]) >= thr:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    groups = {}
+    for i in ids:
+        if find(i) != i or any(find(j) == i for j in ids if j != i):
+            groups.setdefault(find(i), []).append(i)
+    expect_keep = set(ids)
+    for comp, members in groups.items():
+        keeper = min(members, key=lambda i: (csim[i], i))
+        expect_keep -= {m for m in members if m != keeper}
+    for i in ids:
+        assert out[i].semdedup_cell == cell[i], f"cell of {i}"
+        assert out[i].semdedup_keep == (i in expect_keep), f"keep of {i}"
+    grouped = {i for ms in groups.values() for i in ms}
+    for i in ids:
+        if i in grouped:
+            assert out[i].semdedup_component == min(
+                m for m in groups[find(i)]
+            ), f"component of {i}"
+        else:
+            assert out[i].semdedup_component is None, f"singleton {i}"
+
+
+def test_semdedup_keep_policies_and_nulls(spark):
+    """'far' keeps the group's edge example, 'near' its prototype,
+    'min_id' the smallest id; NULL vectors never group and always
+    keep."""
+    # one cluster: id 1 closest to centroid, id 3 farthest, all mutual
+    # cosine >= 0.999
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.001, 0.0]),
+            (2, [1.0, 0.012, 0.0]),
+            (3, [1.0, 0.025, 0.0]),
+            (9, None),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    cents = [(0, [1.0, 0.0, 0.0])]
+    for policy, keeper in (("far", 3), ("near", 1), ("min_id", 1)):
+        got = {r.vec_id: r for r in
+               sim.semdedup(df, cents, threshold=0.999,
+                            keep=policy).collect()}
+        kept = {i for i, r in got.items() if r.semdedup_keep}
+        assert kept == {keeper, 9}, policy
+        assert got[9].semdedup_component is None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="keep"):
+        sim.semdedup(df, cents, keep="bogus")
+
+
+def test_semdedup_trains_own_centroids(spark, vectors):
+    """No centroids given: semdedup trains via train_ivf_centroids and
+    still emits exactly one keeper per component."""
+    out = sim.semdedup(vectors, n_cells=8, refine_iters=1, threshold=0.9999)
+    rows = out.collect()
+    assert {"semdedup_cell", "semdedup_component", "semdedup_keep"} <= set(
+        out.columns
+    )
+    by_comp = {}
+    for r in rows:
+        if r.semdedup_component is not None:
+            by_comp.setdefault(r.semdedup_component, []).append(r)
+    assert by_comp, "the angle-clustered fixture must contain semantic dups"
+    for comp, members in by_comp.items():
+        assert sum(1 for m in members if m.semdedup_keep) == 1, comp
+        assert len(members) >= 2, comp
+    # ungrouped rows all keep
+    assert all(r.semdedup_keep for r in rows if r.semdedup_component is None)
+
+
 def test_token_frequencies_duckdb_parity(spark, docs):
     """Unigram (n_occurrences, n_docs) per token must equal DuckDB's
     unnest/groupBy over the same rows — both engines tokenize with the
