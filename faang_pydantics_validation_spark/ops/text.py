@@ -1168,3 +1168,75 @@ def clean_lines(
             ),
         }
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    max_tokens: int = 512,
+    stride: int | None = None,
+    chunk_idx_col: str = "chunk_idx",
+    chunk_col: str = "chunk_text",
+    chunk_tokens_col: str = "chunk_n_tokens",
+) -> DataFrame:
+    """Split long documents into token windows — the preprocessing
+    embedding pipelines run before encoding (a 100k-token file cannot
+    feed a 512-token encoder): one output row per window, every input
+    column passed through, plus ``chunk_idx`` / ``chunk_text`` /
+    ``chunk_n_tokens``.
+
+    * Tokens are the ``\\s+`` split (the same word notion as the rest
+      of this module); chunk text re-joins its window with single
+      spaces — the standard lossy-whitespace chunk form (encoders
+      retokenize anyway). The op never replaces the original column, so
+      nothing upstream loses the exact payload.
+    * ``stride`` (default ``max_tokens`` — disjoint windows) < max_tokens
+      gives overlapping windows; a final window that adds NO new tokens
+      over its predecessor (its end is clamped to the doc end that the
+      previous window already reached) is not emitted, so every chunk
+      contributes fresh content and chunk counts are deterministic.
+    * Entirely ROW-LOCAL: window starts are a ``sequence`` +
+      ``filter``, chunks a ``transform`` + ``posexplode_outer`` — zero
+      shuffle, zero Python, fuses with the scan. NULL text emits one
+      row with NULL chunk columns (lineage keeps every input row
+      visible); empty/whitespace text emits none of the chunk rows but
+      keeps the row the same way.
+    """
+    if stride is None:
+        stride = max_tokens
+    if not (1 <= stride <= max_tokens):
+        raise ValueError(
+            f"stride must be in [1, max_tokens]; got {stride} vs"
+            f" max_tokens {max_tokens}"
+        )
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
+    )
+    n = F.size(toks)
+    starts = F.when(
+        n > 0,
+        F.filter(
+            F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)),
+            # a window adds new tokens iff it is the first or its
+            # UNCLAMPED end exceeds the previous window's clamped end
+            lambda s: (s == F.lit(0)) | (s - stride + max_tokens < n),
+        ),
+    )
+    chunk = F.transform(
+        starts,
+        lambda s: F.struct(
+            F.concat_ws(" ", F.slice(toks, s + 1, max_tokens)).alias("t"),
+            F.least(n - s, F.lit(max_tokens)).alias("k"),
+        ),
+    )
+    passthrough = [F.col(c) for c in df.columns]
+    return df.select(
+        *passthrough,
+        F.posexplode_outer(chunk).alias(chunk_idx_col, "__chk"),
+    ).select(
+        *passthrough,
+        F.col(chunk_idx_col),
+        F.col("__chk")["t"].alias(chunk_col),
+        F.col("__chk")["k"].alias(chunk_tokens_col),
+    )

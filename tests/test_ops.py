@@ -1854,3 +1854,72 @@ def test_ivfpq_pruned_probe_recall_and_no_corpus_shuffle(spark, vectors):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert "Python" not in plan
+
+
+# ------------------------------------------------------ document chunking --
+
+
+def test_chunk_documents_matches_python_mirror(spark):
+    """Window starts, token content, counts, and the no-new-tokens tail
+    rule must match a pure-Python mirror for disjoint AND overlapping
+    strides; NULL/empty docs keep one NULL-chunk row."""
+    docs = [
+        (1, " ".join(f"w{i}" for i in range(13))),
+        (2, "only three tokens"),
+        (3, ""),
+        (4, None),
+        (5, "  padded   with\nmixed\tspace tokens here now  "),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for mt, st in ((5, 5), (5, 3), (4, 1), (512, 512)):
+        got = {}
+        out = tx.chunk_documents(df, max_tokens=mt, stride=st).collect()
+        for r in out:
+            got.setdefault(r.doc_id, []).append(
+                (r.chunk_idx, r.chunk_text, r.chunk_n_tokens)
+            )
+        for did, text in docs:
+            if text is None or not text.split():
+                assert got[did] == [(None, None, None)], (mt, st, did)
+                continue
+            toks = text.split()
+            n = len(toks)
+            expect, idx = [], 0
+            for s in range(0, n, st):
+                if s > 0 and s - st + mt >= n:
+                    continue  # adds no new tokens over the previous window
+                w = toks[s:s + mt]
+                expect.append((idx, " ".join(w), len(w)))
+                idx += 1
+            assert sorted(got[did]) == expect, (mt, st, did)
+
+
+def test_chunk_documents_passthrough_and_validation(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, "x", " ".join(["tok"] * 7))], "a long, b string, text string"
+    )
+    out = tx.chunk_documents(df, max_tokens=3)
+    assert out.columns == ["a", "b", "text", "chunk_idx", "chunk_text",
+                           "chunk_n_tokens"]
+    rows = out.collect()
+    assert len(rows) == 3 and all(r.a == 1 and r.b == "x" for r in rows)
+    assert [r.chunk_n_tokens for r in rows] == [3, 3, 1]
+    with _pytest.raises(ValueError, match="stride"):
+        tx.chunk_documents(df, max_tokens=4, stride=5)
+    with _pytest.raises(ValueError, match="stride"):
+        tx.chunk_documents(df, max_tokens=4, stride=0)
+
+
+def test_chunk_documents_plan_is_row_local(spark):
+    import contextlib
+    import io
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        tx.chunk_documents(df, max_tokens=2, stride=1).explain("formatted")
+    p = buf.getvalue()
+    assert "Exchange" not in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
