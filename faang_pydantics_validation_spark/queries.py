@@ -1000,6 +1000,57 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking (ops/text.chunk_documents) over the documents
+    table: 32-token windows at stride 24 (overlapping), so the oracle
+    adjudicates the start grid, the no-new-tokens tail rule, the window
+    content, and the clamped counts in one hash."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = tx.chunk_documents(docs, text_col="text", max_tokens=32, stride=24)
+    return out.select(
+        F.col("doc_id").cast("string").alias("record_id"),
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        "chunk_text",
+        F.col("chunk_n_tokens").cast("int").alias("chunk_n_tokens"),
+    )
+
+
+#: DuckDB twin of chunk_documents at (max_tokens=32, stride=24): the
+#: same explicit Java-\s class, list_filter over the 0/24/48... start
+#: grid with the s=0-or-adds-new-tokens rule, inclusive 1-based
+#: list_slice, and a NULL-chunk row for NULL/empty docs.
+SQL_CHUNK_DOCUMENTS = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
+                     x -> x <> '') AS tk
+  FROM documents
+),
+wins AS (
+  SELECT doc_id, tk, len(tk) AS n,
+         CASE WHEN text IS NULL OR len(tk) = 0 THEN NULL
+              ELSE list_filter(range(0, len(tk), 24),
+                               s -> s = 0 OR s - 24 + 32 < len(tk))
+         END AS starts
+  FROM base
+),
+ex AS (
+  SELECT doc_id, tk, n,
+         unnest(starts) AS s,
+         generate_subscripts(starts, 1) - 1 AS idx
+  FROM wins WHERE starts IS NOT NULL
+)
+SELECT CAST(doc_id AS VARCHAR) AS record_id,
+       CAST(idx AS INTEGER) AS chunk_idx,
+       array_to_string(list_slice(tk, s + 1, s + 32), ' ') AS chunk_text,
+       CAST(least(n - s, 32) AS INTEGER) AS chunk_n_tokens
+FROM ex
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), NULL, NULL, NULL
+FROM wins WHERE starts IS NULL
+"""
+
+
 # Java \s == [ \t\n\x0B\f\r]: the explicit class keeps RE2 (DuckDB)
 # bit-compatible with Spark's JVM regex on vertical-tab input — the
 # same parity pin as the dedup shingle twins.
@@ -2275,7 +2326,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "validate_from_json_ruleset": q_validate_from_json_ruleset,
     "rule_required": q_rule_required,
     "rule_enum": q_rule_enum,
-    "rule_const": q_rule_const,
+    "chunk_documents": q_chunk_documents,
     "rule_regex": q_rule_regex,
     "rule_uri": q_rule_uri,
     "rule_numeric": q_rule_numeric,
@@ -2340,6 +2391,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # value hash is IDENTICAL to dedup_exact's — the synthetic documents are
 # already normalized, so the two slots carried the same information) for
 # dedup_lines, the corpus-level line-dedup contract query.
+# Round-4 continuation rotation 2: rule_const retired (R4 is a single
+# equality expression whose semantics the compiler property tests and
+# the retired-queries oracle already pin; 5 rows of contract
+# information) for chunk_documents — the embedding-pipeline chunker,
+# whose window grid / tail rule / content / counts get full driver
+# adjudication.
 assert len(QUERIES) == 50, f"driver harvests 50 queries, got {len(QUERIES)}"
 
 ORACLE_SQL: dict[str, str] = {
@@ -2350,7 +2407,7 @@ ORACLE_SQL: dict[str, str] = {
     "validate_from_json_ruleset": SQL_VALIDATE_FROM_JSON_RULESET,
     "rule_required": SQL_RULE_REQUIRED,
     "rule_enum": SQL_RULE_ENUM,
-    "rule_const": SQL_RULE_CONST,
+    "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "rule_regex": SQL_RULE_REGEX,
     "rule_uri": SQL_RULE_URI,
     "rule_numeric": SQL_RULE_NUMERIC,

@@ -30,6 +30,7 @@ RETIRED = [
         Q.SQL_DEDUP_EXACT_DUPLICATES,
     ),
     ("text_fingerprint", Q.q_text_fingerprint, Q.SQL_TEXT_FINGERPRINT),
+    ("rule_const", Q.q_rule_const, Q.SQL_RULE_CONST),
 ]
 
 
