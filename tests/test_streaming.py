@@ -277,3 +277,71 @@ def test_curation_ops_are_streaming_safe(spark, tmp_path):
     assert all(r.rep_keep for r in clean)
     assert all(r.n_emails == 1 for r in clean)      # PII counted per row
     assert all(not r.quality_keep for r in spam)    # dup-line rule fires too
+
+
+def test_classifier_and_chunking_are_streaming_safe(spark, tmp_path):
+    """The learned-classifier score (single-row broadcast weights +
+    row-local fold) and document chunking (posexplode windows) are
+    stateless, so a model trained in BATCH scores/chunks a STREAM
+    unchanged — the ingest-time shape of a recurring curation job."""
+    import time
+
+    from faang_pydantics_validation_spark.ops import classify as cl
+    from faang_pydantics_validation_spark.ops import text as tx
+
+    nf = 1 << 10
+    gold_text = "the committee published a detailed report on regional trade"
+    junk_text = "zz9 qq7 buy now spam spam cheap cheap win win"
+    train = spark.createDataFrame(
+        [(1.0, gold_text), (0.0, junk_text)], "label double, text string"
+    )
+    w = cl.train_quality_classifier(train, n_features=nf, iters=15, lr=1.0)
+
+    out = str(tmp_path / "clf_stream_out")
+    ckpt = str(tmp_path / "clf_stream_ckpt")
+    rate = (
+        spark.readStream.format("rate").option("rowsPerSecond", 200).load()
+    )
+    docs = rate.select(
+        F.col("value").alias("doc_id"),
+        F.when(F.col("value") % 2 == 0, F.lit(gold_text))
+        .otherwise(F.lit(junk_text))
+        .alias("text"),
+    )
+    scored = cl.classifier_score(docs, w, text_col="text", n_features=nf)
+    chunked = tx.chunk_documents(scored, text_col="text", max_tokens=4)
+    q = (
+        chunked.select("doc_id", "quality_prob", "chunk_idx",
+                       "chunk_n_tokens")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        rows = []
+        while time.time() < deadline:
+            time.sleep(2)
+            try:
+                rows = spark.read.parquet(out).collect()
+            except Exception:
+                continue
+            if len(rows) >= 30 and {r.doc_id % 2 for r in rows} == {0, 1}:
+                break
+        assert len(rows) >= 30, "stream produced too few rows"
+    finally:
+        q.stop()
+    gold = [r for r in rows if r.doc_id % 2 == 0]
+    junk = [r for r in rows if r.doc_id % 2 == 1]
+    assert gold and junk
+    assert all(r.quality_prob > 0.9 for r in gold)
+    assert all(r.quality_prob < 0.1 for r in junk)
+    # chunking on the stream: gold text = 9 tokens -> windows 4/4/1;
+    # junk text = 10 tokens -> windows 4/4/2
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r.chunk_n_tokens)
+    for did, v in per_doc.items():
+        assert sorted(v) == ([1, 4, 4] if did % 2 == 0 else [2, 4, 4]), did
