@@ -278,8 +278,9 @@ CURATE_STAGES: tuple[tuple[int, str], ...] = (
     (5, "license"),
     (6, "exact_dedup"),
     (7, "near_dup"),
-    (8, "decontaminate"),
-    (9, "mixture"),
+    (8, "semantic_dedup"),
+    (9, "decontaminate"),
+    (10, "mixture"),
 )
 
 
@@ -304,8 +305,9 @@ def _reason_stage(reason):
         .when(reason == "restrictive_license", 5)
         .when(reason == "exact_dup", 6)
         .when(reason == "near_dup", 7)
-        .when(reason == "contaminated", 8)
-        .when(reason == "mixture", 9)
+        .when(reason == "semantic_dup", 8)
+        .when(reason == "contaminated", 9)
+        .when(reason == "mixture", 10)
         .otherwise(0)
     )
 
@@ -332,6 +334,10 @@ def cmd_curate(args) -> int:
     fused row-local pass — one single-row broadcast join — and drops
     kept docs under --quality-prob-min; the probability joins the
     written audit as quality_prob.
+    --semdedup EMB_PARQUET drops semantic duplicates among kept rows
+    using a SIDE table of (record_id, embedding) vectors — SemDeDup via
+    ops/similarity, losers audited as semantic_dup (the embedding table
+    is its own artifact at scale; curate never embeds).
     --decontaminate PROBES drops survivors containing any eval probe
     (n-gram containment ≥ --decontaminate-containment): probes are
     broadcast for the scan and the contaminated-id set is broadcast for
@@ -468,7 +474,9 @@ def cmd_curate(args) -> int:
     # vs 3-4 full recomputes of regex/fold-heavy kernels. Same call on a
     # real cluster (executor-local storage); measured 1M/8-core wall
     # dropped ~3x with all stages on.
-    multi_pass = bool(args.neardup or args.decontaminate or args.mixture)
+    multi_pass = bool(
+        args.neardup or args.semdedup or args.decontaminate or args.mixture
+    )
     persisted = None
     if multi_pass:
         from pyspark import StorageLevel
@@ -506,6 +514,52 @@ def cmd_curate(args) -> int:
             )
             .withColumn("kept", F.size("drop_reasons") == 0)
             .drop("__nd")
+        )
+
+    if args.semdedup:
+        # semantic dedup among the survivors (SemDeDup,
+        # ops/similarity.semdedup): embeddings come from a SIDE table
+        # keyed by record_id — the curate input carries text, not
+        # vectors, and at 100 TB the embedding table is its own
+        # artifact produced by an encoder pass. Only kept rows join
+        # vectors; losers get reason 'semantic_dup' (audit model
+        # unchanged). The loser set can be a large corpus fraction, so
+        # no broadcast hint — AQE picks the join side by size (same
+        # rationale as drop_duplicate_components).
+        from faang_pydantics_validation_spark.ops.similarity import (
+            semdedup,
+        )
+
+        emb = spark.read.parquet(args.semdedup)
+        if not {"record_id", "embedding"} <= set(emb.columns):
+            raise SystemExit(
+                "--semdedup table must have columns (record_id,"
+                f" embedding); got {emb.columns}"
+            )
+        vecs = emb.join(
+            curated.filter("kept").select("record_id"), "record_id"
+        )
+        sd_losers = (
+            semdedup(
+                vecs,
+                threshold=args.semdedup_threshold,
+                id_col="record_id",
+                vec_col="embedding",
+            )
+            .filter(~F.col("semdedup_keep"))
+            .select("record_id", F.lit(True).alias("__sd"))
+        )
+        curated = (
+            curated.join(sd_losers, "record_id", "left")
+            .withColumn(
+                "drop_reasons",
+                F.when(
+                    F.col("__sd").isNotNull() & F.col("kept"),
+                    F.array(F.lit("semantic_dup")),
+                ).otherwise(F.col("drop_reasons")),
+            )
+            .withColumn("kept", F.size("drop_reasons") == 0)
+            .drop("__sd")
         )
 
     if args.decontaminate:
@@ -695,10 +749,12 @@ def cmd_curate(args) -> int:
         active.add(5)
     if args.neardup:
         active.add(7)
-    if args.decontaminate:
+    if args.semdedup:
         active.add(8)
-    if args.mixture:
+    if args.decontaminate:
         active.add(9)
+    if args.mixture:
+        active.add(10)
     lineage, running = [], rows_in
     unknown = stage_drops.pop(0, 0)
     if unknown:
@@ -1168,6 +1224,21 @@ def main(argv=None) -> int:
     pc.add_argument("--pack-groups", type=int, default=32)
     pc.add_argument("--neardup", action="store_true",
                     help="also drop MinHash near-dup components")
+    pc.add_argument(
+        "--semdedup",
+        metavar="EMB_PARQUET",
+        help="semantic dedup among kept rows using this side table of"
+        " (record_id, embedding) vectors (SemDeDup; losers get reason"
+        " semantic_dup)",
+    )
+    pc.add_argument(
+        "--semdedup-threshold",
+        type=float,
+        default=0.95,
+        metavar="COS",
+        help="cosine threshold for --semdedup duplicate groups"
+        " (default 0.95)",
+    )
     pc.add_argument(
         "--line-dedup",
         type=_min_docs,

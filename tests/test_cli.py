@@ -720,3 +720,54 @@ def test_cli_semdedup(tmp_path, spark):
         .collect()
     )
     assert comp_sizes and all(r.k == 1 for r in comp_sizes)
+
+
+def test_cli_curate_semdedup_side_table(tmp_path, spark):
+    """--semdedup joins a side (record_id, embedding) table over the
+    kept rows, drops all but one member of each semantic-duplicate
+    group with reason semantic_dup, and books them to the
+    semantic_dedup lineage stage."""
+    body = "".join(
+        f"def fn_{{j}}(a_{{j}}, b_{{j}}):\n    return a_{{j}} + b_{{j}} * {{j}}\n"
+        .format(j=j) for j in range(10)
+    )
+    rows = [("org/a", f"src/m_{i}.py", chr(97 + i) * 40, "python",
+             body + f"# module {i}\n") for i in range(4)]
+    src = str(tmp_path / "sd_src")
+    spark.createDataFrame(
+        rows,
+        "repo string, path string, commit string, lang string,"
+        " content string",
+    ).write.parquet(src)
+    # record_id = repo:path@commit; docs 0 and 1 share a direction
+    # (semantic dups), 2 and 3 are orthogonal singletons
+    def rid(i):
+        return f"org/a:src/m_{i}.py@{chr(97 + i) * 40}"
+    emb = [
+        (rid(0), [1.0, 0.001, 0.0]),
+        (rid(1), [1.0, 0.002, 0.0]),
+        (rid(2), [0.0, 1.0, 0.0]),
+        (rid(3), [0.0, 0.0, 1.0]),
+    ]
+    epath = str(tmp_path / "sd_emb")
+    spark.createDataFrame(
+        emb, "record_id string, embedding array<float>"
+    ).write.parquet(epath)
+    out_dir = str(tmp_path / "sd_cur")
+    rc = main(["curate", "--input", src, "--output", out_dir,
+               "--semdedup", epath, "--semdedup-threshold", "0.999",
+               "--cores", "4"])
+    assert rc == 0
+    summary = json.load(open(f"{out_dir}/summary.json"))
+    assert summary["drop_reason_counts"].get("semantic_dup", 0) == 1, summary
+    stages = {s["stage"]: s for s in summary["stage_lineage"]}
+    assert stages["semantic_dedup"]["dropped"] == 1
+    cur = spark.read.parquet(f"{out_dir}/curated")
+    dropped = cur.filter(
+        "array_contains(drop_reasons, 'semantic_dup')"
+    ).collect()
+    assert len(dropped) == 1 and dropped[0].path in ("src/m_0.py",
+                                                     "src/m_1.py")
+    kept_paths = {r.path for r in cur.filter("kept").collect()}
+    assert {"src/m_2.py", "src/m_3.py"} <= kept_paths
+    assert len(kept_paths & {"src/m_0.py", "src/m_1.py"}) == 1
