@@ -793,6 +793,31 @@ def cmd_curate(args) -> int:
         "stage_lineage": lineage,
     }
 
+    if args.quality_classifier:
+        # kept-corpus score profile from the written parquet (no second
+        # input pass) — the number a recurring ingest trends run over
+        # run: a drifting p10 means the upstream corpus got worse before
+        # any rule-based screen notices
+        qp = (
+            out_df.filter(F.col("status") == "kept")
+            .agg(
+                F.percentile_approx(
+                    "quality_prob", [0.1, 0.5, 0.9]
+                ).alias("q"),
+                F.avg("quality_prob").alias("m"),
+            )
+            .collect()[0]
+        )
+        summary["classifier"] = {
+            "prob_min": args.quality_prob_min,
+            "kept_prob_p10_p50_p90": [
+                round(float(x), 4) for x in (qp.q or [])
+            ],
+            "kept_prob_mean": (
+                round(float(qp.m), 4) if qp.m is not None else None
+            ),
+        }
+
     if args.line_dedup:
         # aggregate view of the payload-rewriting pre-stage, from the
         # same written parquet the counters use (never a second input

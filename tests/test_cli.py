@@ -686,6 +686,12 @@ def test_cli_train_classifier_and_curate_quality_stage(tmp_path, spark):
     stages = {s["stage"]: s for s in summary["stage_lineage"]}
     assert "classifier" in stages
     assert stages["classifier"]["dropped"] == len(clf_dropped)
+    # kept-corpus score profile rides summary.json for cross-run trending
+    prof = summary["classifier"]
+    assert prof["prob_min"] == 0.5
+    assert len(prof["kept_prob_p10_p50_p90"]) == 3
+    assert all(x >= 0.5 for x in prof["kept_prob_p10_p50_p90"])
+    assert prof["kept_prob_mean"] >= 0.5
 
 
 def test_cli_semdedup(tmp_path, spark):
