@@ -312,87 +312,22 @@ def _reason_stage(reason):
     )
 
 
-def cmd_curate(args) -> int:
-    """Training-corpus curation over the code table: quality filter →
-    secret screen → license tag → exact dedup (→ optional MinHash
-    near-dup components), one audited output.
-
-    Plan shape: the quality/secret/license stages are row-local column
-    programs fused with the scan; exact dedup adds ONE exchange hashed
-    by the content sha256 (computed pre-exchange — the shuffle carries
-    64B digests + the audit columns, not re-derived payloads). The
-    whole annotated frame is written ONCE, partitioned by the final
-    keep verdict, so the kept corpus and the drop audit are partition
-    directories of the same write — no second pass over the input.
-    Near-dup (--neardup) adds the banded MinHash self-join + component
-    resolution from ops/dedup, applied to the exact-dedup survivors.
-    --repetition adds the Gopher-style repetitious-text screen
-    (ops/text.repetition_filter) — still row-local, still fused into
-    the same single pass as the other quality stages.
-    --quality-classifier WEIGHTS scores every doc with the trained
-    linear model (fpvs train-classifier; ops/classify) in the SAME
-    fused row-local pass — one single-row broadcast join — and drops
-    kept docs under --quality-prob-min; the probability joins the
-    written audit as quality_prob.
-    --semdedup EMB_PARQUET drops semantic duplicates among kept rows
-    using a SIDE table of (record_id, embedding) vectors — SemDeDup via
-    ops/similarity, losers audited as semantic_dup (the embedding table
-    is its own artifact at scale; curate never embeds).
-    --decontaminate PROBES drops survivors containing any eval probe
-    (n-gram containment ≥ --decontaminate-containment): probes are
-    broadcast for the scan and the contaminated-id set is broadcast for
-    the mark, so the corpus never shuffles for this stage.
-    --line-dedup MIN_DOCS runs corpus-level line dedup FIRST
-    (ops/dedup.dedup_lines_corpus): lines repeated across >= MIN_DOCS
-    documents are stripped from every document before any verdict stage
-    — payloads are rewritten, rows never drop, and the per-row
-    `lines_deduped` count joins the written audit.
-    --save-baseline / --baseline persist and score the kept-corpus
-    numeric profile (ops/checks.baseline) — cross-run drift monitoring
-    for a recurring ingest; scores land in summary.json.
-
-    summary.json always carries ``stage_lineage``: rows in/out per
-    pipeline stage, attributed by each dropped row's EARLIEST-stage
-    reason — derived from the audit columns of the single written
-    output, never a second pass over the input.
-    """
-    from pyspark.sql import SparkSession, Window
+def _curate_core(spark, df, args, carry: tuple[str, ...] = ()):
+    """The fused single-pass core of curate — row-local annotate chain
+    (quality, secrets, license, optional repetition + learned
+    classifier) plus the content-sha-keyed exact-dedup window — factored
+    out so the checkpointed path can run it per content-sha SHARD:
+    equal shas hash to the same shard, so per-shard dedup IS global
+    dedup and a resumed run is bit-identical to an unsharded one.
+    ``carry`` names extra input columns (e.g. the checkpoint partition
+    id) to pass through the staged projection."""
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from faang_pydantics_validation_spark.ops import code as cd
     from faang_pydantics_validation_spark.ops import text as tx
 
-    owns_session = SparkSession.getActiveSession() is None
-    spark = _build_session(args)
-    spark.sparkContext.setLogLevel("WARN")
-    df = _load_input(spark, args)
-
-    t0 = time.monotonic()
     rid = F.concat_ws("@", F.concat_ws(":", "repo", "path"), "commit")
-    if args.line_dedup:
-        # corpus-level boilerplate line removal BEFORE any verdict stage
-        # (CCNet order: rewrite the payload first, then quality-score /
-        # dedup the cleaned text — shared license headers collapse to
-        # identical bodies that exact dedup can then see). Rows never
-        # drop here, so stage lineage is untouched; the per-row
-        # `lines_deduped` count lands in the written audit and the
-        # aggregate in summary.line_dedup.
-        from faang_pydantics_validation_spark.ops.dedup import (
-            dedup_lines_corpus,
-        )
-
-        df = (
-            dedup_lines_corpus(
-                df.withColumn("__ldc_rid", rid),
-                id_col="__ldc_rid",
-                text_col="content",
-                min_docs=args.line_dedup,
-                out_col="__ldc_out",
-            )
-            .withColumn("content", F.col("__ldc_out"))
-            .withColumnRenamed("n_lines_deduped", "lines_deduped")
-            .drop("__ldc_out", "__ldc_rid")
-        )
     ann = cd.code_quality_filter(df)
     ann = cd.scan_secrets(ann)
     ann = cd.detect_license(ann)
@@ -441,6 +376,7 @@ def cmd_curate(args) -> int:
         "repo", "path", "commit", "lang", "content", "license_id",
         *(["lines_deduped"] if args.line_dedup else []),
         *(["quality_prob"] if args.quality_classifier else []),
+        *carry,
         rid.alias("record_id"),
         F.sha2(F.col("content"), 256).alias("content_sha"),
         base_reasons.alias("__base_reasons"),
@@ -463,7 +399,251 @@ def cmd_curate(args) -> int:
             F.array(F.lit("exact_dup")),
         ).otherwise(F.col("__base_reasons")),
     ).drop("__base_reasons")
-    curated = curated.withColumn("kept", F.size("drop_reasons") == 0)
+    return curated.withColumn("kept", F.size("drop_reasons") == 0)
+
+
+def _cmd_curate_checkpointed(spark, df, args, t0, owns_session) -> int:
+    """Resumable curation: the fused single-pass core, sharded by
+    ``pmod(xxhash64(sha2(content)), K)`` through the SAME manifest
+    machinery as ``run --checkpoint``. The shard key is the content
+    sha, so every copy of a given payload lands in one shard and
+    per-shard exact dedup IS global exact dedup — a resumed run is
+    result-identical to an unsharded one (survivor choice orders by
+    record_id within the sha, entirely shard-local). Completed shards
+    are skipped on re-run; a crash loses at most one in-flight group.
+
+    Corpus-GLOBAL stages (line dedup, MinHash/semantic dedup,
+    decontamination's probe checkpointing aside, mixture, packing,
+    baselines) cannot be sharded by content and are refused up front —
+    run them unsharded, or downstream of the resumable core's output.
+    """
+    from pyspark.sql import functions as F
+
+    from faang_pydantics_validation_spark.checkpoint import (
+        CheckpointManifest,
+        partition_key,
+        run_partitioned,
+    )
+
+    blocked = {
+        "--line-dedup": args.line_dedup,
+        "--neardup": args.neardup,
+        "--semdedup": args.semdedup,
+        "--decontaminate": args.decontaminate,
+        "--mixture": bool(args.mixture),
+        "--pack": args.pack,
+        "--save-baseline": args.save_baseline,
+        "--baseline": args.baseline,
+    }
+    bad = [k for k, v in blocked.items() if v]
+    if bad:
+        raise SystemExit(
+            "--checkpoint resumes the fused single-pass core only; these"
+            " corpus-global stages cannot be sharded by content:"
+            f" {', '.join(bad)}"
+        )
+    n_parts = args.n_checkpoint_partitions
+    manifest = CheckpointManifest(args.checkpoint)
+    key = partition_key(F.sha2(F.col("content"), 256), n_parts)
+
+    def process_group(part_df, group):
+        cur = _curate_core(
+            spark, part_df, args, carry=("__ckpt_part",)
+        ).withColumn(
+            "status", F.when(F.col("kept"), "kept").otherwise("dropped")
+        )
+        (
+            cur.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__ckpt_part", "status")
+            .parquet(f"{args.output}/curated")
+        )
+        from pyspark.errors import AnalysisException
+
+        try:
+            stats = (
+                spark.read.parquet(f"{args.output}/curated")
+                .filter(F.col("__ckpt_part").isin(group))
+                .groupBy("__ckpt_part")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.count_if(F.col("status") == "dropped").alias("d"),
+                )
+                .collect()
+            )
+        except AnalysisException:
+            return {}  # all-empty group wrote nothing; record zeros
+        return {
+            int(r["__ckpt_part"]): (int(r["n"]), int(r["d"]))
+            for r in stats
+        }
+
+    lineage = run_partitioned(df, key, n_parts, manifest, process_group)
+
+    out_df = spark.read.parquet(f"{args.output}/curated")
+    rows_in = out_df.count()
+    kept = out_df.filter(F.col("status") == "kept").count()
+    reason_counts = {
+        r.reason: r.n
+        for r in out_df.filter(F.col("status") == "dropped")
+        .select(F.explode("drop_reasons").alias("reason"))
+        .groupBy("reason")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    stage_drops = {
+        int(r.stage): int(r.n)
+        for r in out_df.filter(F.col("status") == "dropped")
+        .select(
+            F.array_min(F.transform("drop_reasons", _reason_stage)).alias(
+                "stage"
+            )
+        )
+        .groupBy("stage")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    active = {1, 2, 6}
+    if args.repetition:
+        active.add(3)
+    if args.quality_classifier:
+        active.add(4)
+    if args.require_permissive_license:
+        active.add(5)
+    stage_lineage, running = [], rows_in
+    unknown = stage_drops.pop(0, 0)
+    if unknown:
+        stage_lineage.append(
+            {
+                "stage": "unknown_reason",
+                "rows_in": running,
+                "dropped": unknown,
+                "rows_out": running - unknown,
+            }
+        )
+        running -= unknown
+    for sid, stage_name in CURATE_STAGES:
+        if sid not in active:
+            continue
+        d = stage_drops.get(sid, 0)
+        stage_lineage.append(
+            {
+                "stage": stage_name,
+                "rows_in": running,
+                "dropped": d,
+                "rows_out": running - d,
+            }
+        )
+        running -= d
+    summary = {
+        "rows_in": rows_in,
+        "kept": kept,
+        "dropped": rows_in - kept,
+        "drop_reason_counts": reason_counts,
+        "stage_lineage": stage_lineage,
+        "partitions_processed": len(lineage),
+        "partitions_total": n_parts,
+        "wall_sec": round(time.monotonic() - t0, 2),
+    }
+    os.makedirs(args.output, exist_ok=True)
+    with open(f"{args.output}/summary.json", "w") as f:
+        json.dump(summary, f)
+    print(json.dumps(summary))
+    if owns_session:
+        spark.stop()
+    return 0
+
+
+def cmd_curate(args) -> int:
+    """Training-corpus curation over the code table: quality filter →
+    secret screen → license tag → exact dedup (→ optional MinHash
+    near-dup components), one audited output.
+
+    Plan shape: the quality/secret/license stages are row-local column
+    programs fused with the scan; exact dedup adds ONE exchange hashed
+    by the content sha256 (computed pre-exchange — the shuffle carries
+    64B digests + the audit columns, not re-derived payloads). The
+    whole annotated frame is written ONCE, partitioned by the final
+    keep verdict, so the kept corpus and the drop audit are partition
+    directories of the same write — no second pass over the input.
+    Near-dup (--neardup) adds the banded MinHash self-join + component
+    resolution from ops/dedup, applied to the exact-dedup survivors.
+    --repetition adds the Gopher-style repetitious-text screen
+    (ops/text.repetition_filter) — still row-local, still fused into
+    the same single pass as the other quality stages.
+    --quality-classifier WEIGHTS scores every doc with the trained
+    linear model (fpvs train-classifier; ops/classify) in the SAME
+    fused row-local pass — one single-row broadcast join — and drops
+    kept docs under --quality-prob-min; the probability joins the
+    written audit as quality_prob.
+    --semdedup EMB_PARQUET drops semantic duplicates among kept rows
+    using a SIDE table of (record_id, embedding) vectors — SemDeDup via
+    ops/similarity, losers audited as semantic_dup (the embedding table
+    is its own artifact at scale; curate never embeds).
+    --decontaminate PROBES drops survivors containing any eval probe
+    (n-gram containment ≥ --decontaminate-containment): probes are
+    broadcast for the scan and the contaminated-id set is broadcast for
+    the mark, so the corpus never shuffles for this stage.
+    --line-dedup MIN_DOCS runs corpus-level line dedup FIRST
+    (ops/dedup.dedup_lines_corpus): lines repeated across >= MIN_DOCS
+    documents are stripped from every document before any verdict stage
+    — payloads are rewritten, rows never drop, and the per-row
+    `lines_deduped` count joins the written audit.
+    --save-baseline / --baseline persist and score the kept-corpus
+    numeric profile (ops/checks.baseline) — cross-run drift monitoring
+    for a recurring ingest; scores land in summary.json.
+    --checkpoint DIR makes the fused single-pass core RESUMABLE
+    (sharded by content sha through the same manifest machinery as
+    `run --checkpoint`; per-shard exact dedup equals global dedup, so
+    results are identical to an unsharded run) — corpus-global stages
+    are refused in this mode.
+
+    summary.json always carries ``stage_lineage``: rows in/out per
+    pipeline stage, attributed by each dropped row's EARLIEST-stage
+    reason — derived from the audit columns of the single written
+    output, never a second pass over the input.
+    """
+    from pyspark.sql import SparkSession, Window
+    from pyspark.sql import functions as F
+
+    from faang_pydantics_validation_spark.ops import code as cd
+    from faang_pydantics_validation_spark.ops import text as tx
+
+    owns_session = SparkSession.getActiveSession() is None
+    spark = _build_session(args)
+    spark.sparkContext.setLogLevel("WARN")
+    df = _load_input(spark, args)
+
+    t0 = time.monotonic()
+    if args.checkpoint:
+        # resumable sharded core — validates stage compatibility itself
+        return _cmd_curate_checkpointed(spark, df, args, t0, owns_session)
+    rid = F.concat_ws("@", F.concat_ws(":", "repo", "path"), "commit")
+    if args.line_dedup:
+        # corpus-level boilerplate line removal BEFORE any verdict stage
+        # (CCNet order: rewrite the payload first, then quality-score /
+        # dedup the cleaned text — shared license headers collapse to
+        # identical bodies that exact dedup can then see). Rows never
+        # drop here, so stage lineage is untouched; the per-row
+        # `lines_deduped` count lands in the written audit and the
+        # aggregate in summary.line_dedup.
+        from faang_pydantics_validation_spark.ops.dedup import (
+            dedup_lines_corpus,
+        )
+
+        df = (
+            dedup_lines_corpus(
+                df.withColumn("__ldc_rid", rid),
+                id_col="__ldc_rid",
+                text_col="content",
+                min_docs=args.line_dedup,
+                out_col="__ldc_out",
+            )
+            .withColumn("content", F.col("__ldc_out"))
+            .withColumnRenamed("n_lines_deduped", "lines_deduped")
+            .drop("__ldc_out", "__ldc_rid")
+        )
+    curated = _curate_core(spark, df, args)
 
     # When any multi-pass stage is active (near-dup, decontamination,
     # mixture), the DAG branches: each branch would re-derive the whole
@@ -1275,6 +1455,14 @@ def main(argv=None) -> int:
     )
     pc.add_argument("--require-permissive-license", action="store_true",
                     help="drop files with an identified non-permissive license")
+    pc.add_argument(
+        "--checkpoint",
+        help="manifest dir for a RESUMABLE curation run (fused"
+        " single-pass core only, sharded by content sha — per-shard"
+        " exact dedup equals global dedup; corpus-global stages are"
+        " refused)",
+    )
+    pc.add_argument("--n-checkpoint-partitions", type=int, default=64)
     pc.add_argument(
         "--quality-classifier",
         metavar="WEIGHTS_PARQUET",

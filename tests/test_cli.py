@@ -777,3 +777,48 @@ def test_cli_curate_semdedup_side_table(tmp_path, spark):
     kept_paths = {r.path for r in cur.filter("kept").collect()}
     assert {"src/m_2.py", "src/m_3.py"} <= kept_paths
     assert len(kept_paths & {"src/m_0.py", "src/m_1.py"}) == 1
+
+
+def test_cli_curate_checkpointed_resume_matches_unsharded(tmp_path, spark):
+    """curate --checkpoint shards the fused core by content sha: the
+    result must be IDENTICAL to an unsharded run (every copy of a sha
+    shares a shard, so per-shard exact dedup is global dedup), a rerun
+    resumes to a no-op, and corpus-global stages are refused."""
+    import pytest as _pytest
+
+    ref_dir = str(tmp_path / "ref")
+    assert main(["curate", "--synthetic", "3000", "--output", ref_dir,
+                 "--cores", "4"]) == 0
+    ref = json.load(open(f"{ref_dir}/summary.json"))
+
+    out_dir = str(tmp_path / "ck_out")
+    ckpt = str(tmp_path / "ck_manifest")
+    argv = ["curate", "--synthetic", "3000", "--output", out_dir,
+            "--checkpoint", ckpt, "--n-checkpoint-partitions", "8",
+            "--cores", "4"]
+    assert main(argv) == 0
+    s1 = json.load(open(f"{out_dir}/summary.json"))
+    assert s1["partitions_processed"] == 8
+    assert (s1["rows_in"], s1["kept"], s1["dropped"]) == (
+        ref["rows_in"], ref["kept"], ref["dropped"])
+    assert s1["drop_reason_counts"] == ref["drop_reason_counts"]
+    assert s1["stage_lineage"] == ref["stage_lineage"]
+    # the written kept corpora are row-identical
+    from pyspark.sql import functions as F
+
+    a = spark.read.parquet(f"{ref_dir}/curated").filter("kept")
+    b = spark.read.parquet(f"{out_dir}/curated").filter("kept")
+    assert a.count() == b.count()
+    assert a.select("record_id").exceptAll(b.select("record_id")).count() == 0
+
+    # resume: all shards complete -> no-op, data intact
+    assert main(argv) == 0
+    s2 = json.load(open(f"{out_dir}/summary.json"))
+    assert s2["partitions_processed"] == 0
+    assert s2["kept"] == ref["kept"]
+    assert len(os.listdir(f"{ckpt}/manifest")) == 8
+
+    # corpus-global stages are refused up front
+    with _pytest.raises(SystemExit) as exc:
+        main(argv + ["--neardup"])
+    assert "--neardup" in str(exc.value)
