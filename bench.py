@@ -461,6 +461,28 @@ def code_ops_block(spark, n_rows: int) -> dict:
     ).collect()
     out["classifier_score_arrow_sec"] = round(time.monotonic() - t0, 3)
 
+    # BPE tokenizer: training touches the corpus ONCE (word-frequency
+    # agg), then each merge runs over the vocab-sized word table —
+    # walls reported per phase so the corpus-scan vs merge-loop split
+    # stays visible. Encoding is the recurring cost (Arrow rank-greedy
+    # apply with the Zipf word cache), timed on the shared subsample.
+    from faang_pydantics_validation_spark.ops import bpe as bpem
+
+    bpe_merges = int(os.environ.get("SPARK_GRAFT_BENCH_BPE_MERGES", "12"))
+    t0 = time.monotonic()
+    bpe_table = bpem.train_bpe(
+        sub, "content", n_merges=bpe_merges, min_frequency=2,
+        train_fraction=min(1.0, 20_000 / max(n_sub, 1)),
+    )
+    out["bpe_train_sec"] = round(time.monotonic() - t0, 3)
+    out["bpe_merges"] = bpe_table.count()
+    t0 = time.monotonic()
+    bpem.encode_bpe(sub, bpe_table, "content").agg(
+        F.sum(F.size("bpe_tokens"))
+    ).collect()
+    out["bpe_encode_rows"] = n_sub
+    out["bpe_encode_sec"] = round(time.monotonic() - t0, 3)
+
     # sequence packing: concat-and-chunk into 2048-token sequences over
     # 32 salted streams — ONE exchange (window + reassembly share the
     # group distribution); efficiency printed by packing_stats.

@@ -1,0 +1,142 @@
+"""Distributed BPE (ops/bpe.py) vs the pure-Python reference algorithm
+(Sennrich et al. 2016): identical merge sequences (pinned tie-breaks),
+identical encodings, lossless piece concatenation."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from faang_pydantics_validation_spark.ops import bpe
+from faang_pydantics_validation_spark.ops.text import TOKEN_REGEX
+
+CORPUS = [
+    "low low low low low lower lower newest newest newest",
+    "newest newest newest widest widest widest",
+    "def lowest(value): return value + newest_offset",
+    "the lowest widest newest low lower",
+]
+
+
+def _py_pretokens(text: str) -> list[str]:
+    return re.findall(TOKEN_REGEX, text.lower())
+
+
+def _py_merge(syms: list[str], left: str, right: str) -> list[str]:
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _py_train(texts, n_merges, min_frequency):
+    freq = Counter(w for t in texts for w in _py_pretokens(t))
+    vocab = {
+        w: (list(w[:-1]) + [w[-1] + bpe.EOW]) for w in freq
+    }
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += freq[w]
+        if not pairs:
+            break
+        (left, right), c = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        if c < min_frequency:
+            break
+        merges.append((left, right))
+        vocab = {w: _py_merge(s, left, right) for w, s in vocab.items()}
+    return merges
+
+
+def _py_encode(text, merges):
+    rk = {p: i for i, p in enumerate(merges)}
+    out = []
+    for w in _py_pretokens(text):
+        syms = list(w[:-1]) + [w[-1] + bpe.EOW]
+        while len(syms) >= 2:
+            best, bi = None, -1
+            for i in range(len(syms) - 1):
+                r = rk.get((syms[i], syms[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best, bi = r, i
+            if best is None:
+                break
+            syms[bi : bi + 2] = [syms[bi] + syms[bi + 1]]
+        out.extend(s.replace(bpe.EOW, "") for s in syms)
+    return out
+
+
+@pytest.fixture()
+def corpus_df(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string"
+    )
+
+
+def test_train_bpe_matches_reference_mirror(spark, corpus_df):
+    got = sorted(
+        (r.rank, r.left, r.right)
+        for r in bpe.train_bpe(
+            corpus_df, n_merges=12, min_frequency=2
+        ).collect()
+    )
+    expect = [
+        (i, l, r)
+        for i, (l, r) in enumerate(_py_train(CORPUS, 12, 2))
+    ]
+    assert got == expect
+    # learned merges reflect the corpus: 'low' and the EOW-carrying
+    # suffix of 'newest' appear among the early merged strings
+    merged = {l + r for _, l, r in got}
+    assert any("lo" in m for m in merged)
+
+
+def test_train_bpe_min_frequency_stops_early(spark, corpus_df):
+    all_merges = bpe.train_bpe(corpus_df, n_merges=50, min_frequency=6)
+    # only pairs occurring >= 6 times corpus-wide may merge
+    assert 0 < all_merges.count() < 50
+
+
+def test_encode_bpe_matches_python_apply_and_is_lossless(spark, corpus_df):
+    merges = bpe.train_bpe(corpus_df, n_merges=12, min_frequency=2)
+    probe = corpus_df.unionByName(
+        spark.createDataFrame(
+            [(100, None), (101, "unseen zzz! qqq")],
+            "doc_id long, text string",
+        )
+    )
+    got = {
+        r.doc_id: r.bpe_tokens
+        for r in bpe.encode_bpe(probe, merges).collect()
+    }
+    mm = [(r.left, r.right) for r in merges.orderBy("rank").collect()]
+    for i, t in enumerate(CORPUS):
+        assert got[i] == _py_encode(t, mm), i
+        # lossless: concatenating pieces reproduces the pretoken stream
+        assert "".join(got[i]) == "".join(_py_pretokens(t)), i
+    assert got[100] is None
+    assert got[101] == _py_encode("unseen zzz! qqq", mm)
+
+
+def test_word_frequencies_and_train_fraction(spark, corpus_df):
+    wf = {r.word: r.n for r in bpe.word_frequencies(corpus_df).collect()}
+    expect = Counter(w for t in CORPUS for w in _py_pretokens(t))
+    assert wf == dict(expect)
+    half = bpe.word_frequencies(corpus_df, train_fraction=0.5)
+    again = bpe.word_frequencies(corpus_df, train_fraction=0.5)
+    assert sorted(map(tuple, half.collect())) == sorted(
+        map(tuple, again.collect())
+    )
+    assert half.count() <= len(expect)
