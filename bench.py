@@ -281,14 +281,19 @@ def ivf_crossover(spark) -> dict:
     # wall scales ~linearly in rows at fixed cluster size, which the
     # n/150 cell rule maintains
     sd_rows = int(os.environ.get("SPARK_GRAFT_BENCH_SEMDEDUP_ROWS", "20000"))
+    sd_mod = max(n // sd_rows, 1)
     sd_corpus = emb.filter(
-        F.pmod(F.xxhash64(F.col("vec_id")), F.lit(max(n // sd_rows, 1)))
-        == 0
+        F.pmod(F.xxhash64(F.col("vec_id")), F.lit(sd_mod)) == 0
     ) if n > sd_rows else emb
+    # size cells from the rows the modulus ACTUALLY keeps (~n/sd_mod,
+    # up to 2x the target when n isn't a multiple) so mean cluster size
+    # — and the quadratic per-cell pair work — stays ~150 at any
+    # corpus setting, keeping wall_semdedup_sec comparable across runs
+    sd_eff = n // sd_mod if n > sd_rows else n
     sd_cells = int(
         os.environ.get(
             "SPARK_GRAFT_BENCH_SEMDEDUP_CELLS",
-            str(max(64, min(n, sd_rows) // 150)),
+            str(max(64, sd_eff // 150)),
         )
     )
     t0 = time.monotonic()

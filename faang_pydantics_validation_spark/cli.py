@@ -312,7 +312,7 @@ def _reason_stage(reason):
     )
 
 
-def _curate_core(spark, df, args, carry: tuple[str, ...] = ()):
+def _curate_core(spark, df, args, carry: tuple[str, ...] = (), clf=None):
     """The fused single-pass core of curate — row-local annotate chain
     (quality, secrets, license, optional repetition + learned
     classifier) plus the content-sha-keyed exact-dedup window — factored
@@ -320,7 +320,10 @@ def _curate_core(spark, df, args, carry: tuple[str, ...] = ()):
     equal shas hash to the same shard, so per-shard dedup IS global
     dedup and a resumed run is bit-identical to an unsharded one.
     ``carry`` names extra input columns (e.g. the checkpoint partition
-    id) to pass through the staged projection."""
+    id) to pass through the staged projection; ``clf`` is an optional
+    pre-loaded ``(weights_df, n_features)`` pair so the checkpointed
+    path reads and densifies the classifier artifact ONCE per run
+    instead of once per shard group."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -344,12 +347,14 @@ def _curate_core(spark, df, args, carry: tuple[str, ...] = ()):
             classifier_score,
         )
 
-        wdf = spark.read.parquet(args.quality_classifier)
+        if clf is None:
+            wdf = spark.read.parquet(args.quality_classifier)
+            clf = (wdf, classifier_n_features(wdf))
         ann = classifier_score(
             ann,
-            wdf,
+            clf[0],
             text_col="content",
-            n_features=classifier_n_features(wdf),
+            n_features=clf[1],
             out_col="quality_prob",
         )
     base_reasons = F.when(
@@ -402,6 +407,119 @@ def _curate_core(spark, df, args, carry: tuple[str, ...] = ()):
     return curated.withColumn("kept", F.size("drop_reasons") == 0)
 
 
+def _curate_counters(spark, args):
+    """Shared summary bookkeeping for BOTH curate paths (single-pass
+    and checkpointed), from a column-pruned read-back of the WRITTEN
+    parquet — never a second pass over the input. Returns
+    ``(out_df, summary)`` where summary carries rows_in/kept/dropped,
+    per-reason counts, earliest-stage lineage (active stages derive
+    from the same args in both modes — the checkpointed path refuses
+    the corpus-global flags up front, so they are simply absent), and
+    the kept-corpus classifier score profile when the learned screen is
+    on. One definition so the two paths cannot drift."""
+    from pyspark.sql import functions as F
+
+    out_df = spark.read.parquet(f"{args.output}/curated")
+    rows_in = out_df.count()
+    kept = out_df.filter(F.col("status") == "kept").count()
+    reason_counts = {
+        r.reason: r.n
+        for r in out_df.filter(F.col("status") == "dropped")
+        .select(F.explode("drop_reasons").alias("reason"))
+        .groupBy("reason")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # per-stage lineage from ONE agg over the dropped partition: each
+    # dropped row's earliest-stage reason, counted by stage
+    stage_drops = {
+        int(r.stage): int(r.n)
+        for r in out_df.filter(F.col("status") == "dropped")
+        .select(
+            F.array_min(F.transform("drop_reasons", _reason_stage)).alias(
+                "stage"
+            )
+        )
+        .groupBy("stage")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    active = {1, 2, 6}
+    if args.repetition:
+        active.add(3)
+    if args.quality_classifier:
+        active.add(4)
+    if args.require_permissive_license:
+        active.add(5)
+    if args.neardup:
+        active.add(7)
+    if args.semdedup:
+        active.add(8)
+    if args.decontaminate:
+        active.add(9)
+    if args.mixture:
+        active.add(10)
+    lineage, running = [], rows_in
+    unknown = stage_drops.pop(0, 0)
+    if unknown:
+        # reasons no stage claims (see _reason_stage): keep the audit
+        # reconciling AND make the anomaly impossible to miss
+        lineage.append(
+            {
+                "stage": "unknown_reason",
+                "rows_in": running,
+                "dropped": unknown,
+                "rows_out": running - unknown,
+            }
+        )
+        running -= unknown
+    for sid, stage_name in CURATE_STAGES:
+        if sid not in active:
+            continue
+        d = stage_drops.get(sid, 0)
+        lineage.append(
+            {
+                "stage": stage_name,
+                "rows_in": running,
+                "dropped": d,
+                "rows_out": running - d,
+            }
+        )
+        running -= d
+    summary = {
+        "rows_in": rows_in,
+        "kept": kept,
+        "dropped": rows_in - kept,
+        "drop_reason_counts": reason_counts,
+        "stage_lineage": lineage,
+    }
+    if args.quality_classifier:
+        # kept-corpus score profile from the written parquet (no second
+        # input pass) — the number a recurring ingest trends run over
+        # run: a drifting p10 means the upstream corpus got worse before
+        # any rule-based screen notices
+        qp = (
+            out_df.filter(F.col("status") == "kept")
+            .agg(
+                F.percentile_approx(
+                    "quality_prob", [0.1, 0.5, 0.9]
+                ).alias("q"),
+                F.avg("quality_prob").alias("m"),
+            )
+            .collect()[0]
+        )
+        summary["classifier"] = {
+            "prob_min": args.quality_prob_min,
+            "kept_prob_p10_p50_p90": [
+                round(float(x), 4) for x in (qp.q or [])
+            ],
+            "kept_prob_mean": (
+                round(float(qp.m), 4) if qp.m is not None else None
+            ),
+        }
+    return out_df, summary
+
+
 def _cmd_curate_checkpointed(spark, df, args, t0, owns_session) -> int:
     """Resumable curation: the fused single-pass core, sharded by
     ``pmod(xxhash64(sha2(content)), K)`` through the SAME manifest
@@ -445,10 +563,20 @@ def _cmd_curate_checkpointed(spark, df, args, t0, owns_session) -> int:
     n_parts = args.n_checkpoint_partitions
     manifest = CheckpointManifest(args.checkpoint)
     key = partition_key(F.sha2(F.col("content"), 256), n_parts)
+    clf = None
+    if args.quality_classifier:
+        # load + probe the weight artifact ONCE; per-group reloads would
+        # re-run the range-join densification for every shard group
+        from faang_pydantics_validation_spark.ops.classify import (
+            classifier_n_features,
+        )
+
+        wdf = spark.read.parquet(args.quality_classifier)
+        clf = (wdf, classifier_n_features(wdf))
 
     def process_group(part_df, group):
         cur = _curate_core(
-            spark, part_df, args, carry=("__ckpt_part",)
+            spark, part_df, args, carry=("__ckpt_part",), clf=clf
         ).withColumn(
             "status", F.when(F.col("kept"), "kept").otherwise("dropped")
         )
@@ -480,71 +608,10 @@ def _cmd_curate_checkpointed(spark, df, args, t0, owns_session) -> int:
 
     lineage = run_partitioned(df, key, n_parts, manifest, process_group)
 
-    out_df = spark.read.parquet(f"{args.output}/curated")
-    rows_in = out_df.count()
-    kept = out_df.filter(F.col("status") == "kept").count()
-    reason_counts = {
-        r.reason: r.n
-        for r in out_df.filter(F.col("status") == "dropped")
-        .select(F.explode("drop_reasons").alias("reason"))
-        .groupBy("reason")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
-    stage_drops = {
-        int(r.stage): int(r.n)
-        for r in out_df.filter(F.col("status") == "dropped")
-        .select(
-            F.array_min(F.transform("drop_reasons", _reason_stage)).alias(
-                "stage"
-            )
-        )
-        .groupBy("stage")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
-    active = {1, 2, 6}
-    if args.repetition:
-        active.add(3)
-    if args.quality_classifier:
-        active.add(4)
-    if args.require_permissive_license:
-        active.add(5)
-    stage_lineage, running = [], rows_in
-    unknown = stage_drops.pop(0, 0)
-    if unknown:
-        stage_lineage.append(
-            {
-                "stage": "unknown_reason",
-                "rows_in": running,
-                "dropped": unknown,
-                "rows_out": running - unknown,
-            }
-        )
-        running -= unknown
-    for sid, stage_name in CURATE_STAGES:
-        if sid not in active:
-            continue
-        d = stage_drops.get(sid, 0)
-        stage_lineage.append(
-            {
-                "stage": stage_name,
-                "rows_in": running,
-                "dropped": d,
-                "rows_out": running - d,
-            }
-        )
-        running -= d
-    summary = {
-        "rows_in": rows_in,
-        "kept": kept,
-        "dropped": rows_in - kept,
-        "drop_reason_counts": reason_counts,
-        "stage_lineage": stage_lineage,
-        "partitions_processed": len(lineage),
-        "partitions_total": n_parts,
-        "wall_sec": round(time.monotonic() - t0, 2),
-    }
+    _out_df, summary = _curate_counters(spark, args)
+    summary["partitions_processed"] = len(lineage)
+    summary["partitions_total"] = n_parts
+    summary["wall_sec"] = round(time.monotonic() - t0, 2)
     os.makedirs(args.output, exist_ok=True)
     with open(f"{args.output}/summary.json", "w") as f:
         json.dump(summary, f)
@@ -716,17 +783,52 @@ def cmd_curate(args) -> int:
                 "--semdedup table must have columns (record_id,"
                 f" embedding); got {emb.columns}"
             )
-        vecs = emb.join(
-            curated.filter("kept").select("record_id"), "record_id"
-        )
+        kept_ids = curated.filter("kept").select("record_id")
+        vecs = emb.join(kept_ids, "record_id")
+        # join-coverage + uniqueness validation (two small aggs): a key
+        # FORMAT mismatch (e.g. 'repo/path@commit' vs the
+        # 'repo:path@commit' curate builds) would otherwise make the
+        # stage a silent no-op, and duplicate record_id rows in the
+        # side table would multiply audit rows through the loser join
+        cov = vecs.agg(
+            F.count(F.lit(1)).alias("m"),
+            F.count_distinct("record_id").alias("d"),
+        ).collect()[0]
+        n_kept = kept_ids.count()
+        if n_kept and not cov.m:
+            raise SystemExit(
+                "--semdedup matched ZERO kept rows: the embedding"
+                " table's record_id does not join curate's"
+                " repo:path@commit keys — fix the artifact's key format"
+            )
+        if cov.m != cov.d:
+            raise SystemExit(
+                f"--semdedup table has duplicate record_id rows"
+                f" ({cov.m} joined rows across {cov.d} distinct ids);"
+                " deduplicate the embedding artifact first"
+            )
+        if cov.d < n_kept:
+            print(
+                f"warning: --semdedup covers {cov.d} of {n_kept} kept"
+                " rows; uncovered rows pass through unexamined",
+                file=sys.stderr,
+            )
+        # dedup wants bounded clusters (pair work is quadratic per
+        # cell): size the grid at covered/150 per the op's contract,
+        # overridable via --semdedup-cells — sqrt(N) is the SEARCH
+        # default and blows up pair fan-out at dedup scale
+        sd_cells = args.semdedup_cells or max(16, int(cov.d) // 150)
         sd_losers = (
             semdedup(
                 vecs,
+                n_cells=sd_cells,
                 threshold=args.semdedup_threshold,
                 id_col="record_id",
                 vec_col="embedding",
             )
             .filter(~F.col("semdedup_keep"))
+            .select("record_id")
+            .distinct()
             .select("record_id", F.lit(True).alias("__sd"))
         )
         curated = (
@@ -895,108 +997,7 @@ def cmd_curate(args) -> int:
 
     # counters from a column-pruned read-back of what was written —
     # never a second pass over the input
-    out_df = spark.read.parquet(f"{args.output}/curated")
-    rows_in = out_df.count()
-    kept = out_df.filter(F.col("status") == "kept").count()
-    reason_counts = {
-        r.reason: r.n
-        for r in out_df.filter(F.col("status") == "dropped")
-        .select(F.explode("drop_reasons").alias("reason"))
-        .groupBy("reason")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
-    # per-stage lineage from ONE agg over the dropped partition: each
-    # dropped row's earliest-stage reason, counted by stage
-    stage_drops = {
-        int(r.stage): int(r.n)
-        for r in out_df.filter(F.col("status") == "dropped")
-        .select(
-            F.array_min(F.transform("drop_reasons", _reason_stage)).alias(
-                "stage"
-            )
-        )
-        .groupBy("stage")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
-    active = {1, 2, 6}
-    if args.repetition:
-        active.add(3)
-    if args.quality_classifier:
-        active.add(4)
-    if args.require_permissive_license:
-        active.add(5)
-    if args.neardup:
-        active.add(7)
-    if args.semdedup:
-        active.add(8)
-    if args.decontaminate:
-        active.add(9)
-    if args.mixture:
-        active.add(10)
-    lineage, running = [], rows_in
-    unknown = stage_drops.pop(0, 0)
-    if unknown:
-        # reasons no stage claims (see _reason_stage): keep the audit
-        # reconciling AND make the anomaly impossible to miss
-        lineage.append(
-            {
-                "stage": "unknown_reason",
-                "rows_in": running,
-                "dropped": unknown,
-                "rows_out": running - unknown,
-            }
-        )
-        running -= unknown
-    for sid, stage_name in CURATE_STAGES:
-        if sid not in active:
-            continue
-        d = stage_drops.get(sid, 0)
-        lineage.append(
-            {
-                "stage": stage_name,
-                "rows_in": running,
-                "dropped": d,
-                "rows_out": running - d,
-            }
-        )
-        running -= d
-
-    # wall_sec is stamped ONCE, just before summary.json is written, so
-    # it covers every stage incl. baseline scoring and packing
-    summary = {
-        "rows_in": rows_in,
-        "kept": kept,
-        "dropped": rows_in - kept,
-        "drop_reason_counts": reason_counts,
-        "stage_lineage": lineage,
-    }
-
-    if args.quality_classifier:
-        # kept-corpus score profile from the written parquet (no second
-        # input pass) — the number a recurring ingest trends run over
-        # run: a drifting p10 means the upstream corpus got worse before
-        # any rule-based screen notices
-        qp = (
-            out_df.filter(F.col("status") == "kept")
-            .agg(
-                F.percentile_approx(
-                    "quality_prob", [0.1, 0.5, 0.9]
-                ).alias("q"),
-                F.avg("quality_prob").alias("m"),
-            )
-            .collect()[0]
-        )
-        summary["classifier"] = {
-            "prob_min": args.quality_prob_min,
-            "kept_prob_p10_p50_p90": [
-                round(float(x), 4) for x in (qp.q or [])
-            ],
-            "kept_prob_mean": (
-                round(float(qp.m), 4) if qp.m is not None else None
-            ),
-        }
+    out_df, summary = _curate_counters(spark, args)
 
     if args.line_dedup:
         # aggregate view of the payload-rewriting pre-stage, from the
@@ -1443,6 +1444,14 @@ def main(argv=None) -> int:
         metavar="COS",
         help="cosine threshold for --semdedup duplicate groups"
         " (default 0.95)",
+    )
+    pc.add_argument(
+        "--semdedup-cells",
+        type=int,
+        default=None,
+        metavar="K",
+        help="k-means cells for --semdedup (default covered_rows/150 —"
+        " bounded clusters; per-cell pair work is quadratic)",
     )
     pc.add_argument(
         "--line-dedup",
