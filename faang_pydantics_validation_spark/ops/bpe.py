@@ -108,6 +108,69 @@ def _merge_pair(symbols: Column, left: str, right: str) -> Column:
     return stepped["out"]
 
 
+def _local_bpe(
+    freq: dict[str, int], n_merges: int, min_frequency: int
+) -> list[tuple[str, str]]:
+    """The classic in-memory learner over a collected word-frequency
+    table (Sennrich's reference implementation shape: pair stats plus a
+    pair→word index, updated INCREMENTALLY after each merge so only
+    words containing the merged pair are touched). Identical merge
+    sequence to the distributed loop — same pinned tie-break (count
+    DESC, pair ASC). Per-merge argmax is a linear scan of the live pair
+    set; fine into the tens of thousands of merges at vocabulary sizes
+    that fit a driver (the threshold gating this path)."""
+    from collections import Counter, defaultdict
+
+    vocab: dict[str, list[str]] = {
+        w: (list(w[:-1]) + [w[-1] + EOW]) for w in freq
+    }
+    stats: Counter = Counter()
+    index: dict[tuple[str, str], dict[str, int]] = defaultdict(dict)
+    for w, syms in vocab.items():
+        n = freq[w]
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            stats[p] += n
+            index[p][w] = index[p].get(w, 0) + 1
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        if not stats:
+            break
+        (left, right), c = min(
+            stats.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        if c < min_frequency:
+            break
+        merges.append((left, right))
+        for w in list(index[(left, right)]):
+            old = vocab[w]
+            new, i = [], 0
+            while i < len(old):
+                if (
+                    i + 1 < len(old)
+                    and old[i] == left
+                    and old[i + 1] == right
+                ):
+                    new.append(left + right)
+                    i += 2
+                else:
+                    new.append(old[i])
+                    i += 1
+            vocab[w] = new
+            n = freq[w]
+            for syms, sign in ((old, -1), (new, 1)):
+                for i in range(len(syms) - 1):
+                    p = (syms[i], syms[i + 1])
+                    stats[p] += sign * n
+                    if stats[p] <= 0:
+                        del stats[p]
+                    d = index[p]
+                    d[w] = d.get(w, 0) + sign
+                    if d[w] <= 0:
+                        del d[w]
+    return merges
+
+
 def train_bpe(
     df: DataFrame,
     text_col: str = "text",
@@ -115,6 +178,7 @@ def train_bpe(
     min_frequency: int = 2,
     train_fraction: float | None = None,
     checkpoint_every: int = 8,
+    driver_vocab_max: int = 2_000_000,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merges from the corpus and return the
     merge table ``(rank int, left string, right string)`` — the
@@ -128,8 +192,30 @@ def train_bpe(
     ``min_frequency``, and rewrites the word table row-locally. The
     corpus is scanned exactly once (``word_frequencies``); everything
     after runs on the vocab-sized table.
+
+    When the distinct-word count fits the driver
+    (``driver_vocab_max``, default 2M ≈ a few hundred MB of Python
+    dict), the merge LOOP runs locally instead — the
+    SentencePiece/HuggingFace practice: the corpus-sized work (the
+    frequency agg) stays distributed, the vocab-sized loop runs where
+    32k sequential merges cost milliseconds each, not a Spark job each.
+    Same algorithm, same pinned tie-breaks, IDENTICAL merge sequence
+    (pytest-pinned against the distributed loop); ``driver_vocab_max=0``
+    forces the distributed path for vocabularies past driver memory.
     """
-    words = word_frequencies(df, text_col, train_fraction).select(
+    word_df = word_frequencies(df, text_col, train_fraction)
+    if driver_vocab_max and word_df.count() <= driver_vocab_max:
+        freq = {r["word"]: int(r["n"]) for r in word_df.collect()}
+        merges = [
+            (rank, left, right)
+            for rank, (left, right) in enumerate(
+                _local_bpe(freq, n_merges, min_frequency)
+            )
+        ]
+        return df.sparkSession.createDataFrame(
+            merges or [], "rank int, left string, right string"
+        )
+    words = word_df.select(
         "n",
         F.concat(
             F.split(

@@ -140,3 +140,19 @@ def test_word_frequencies_and_train_fraction(spark, corpus_df):
         map(tuple, again.collect())
     )
     assert half.count() <= len(expect)
+
+
+def test_train_bpe_distributed_equals_local(spark, corpus_df):
+    """The driver-local merge loop (vocab fits) and the distributed
+    word-table loop are the same algorithm with the same pinned
+    tie-breaks — identical merge tables, switchable via
+    driver_vocab_max."""
+    local = sorted(
+        map(tuple, bpe.train_bpe(corpus_df, n_merges=10,
+                                 min_frequency=2).collect())
+    )
+    dist = sorted(
+        map(tuple, bpe.train_bpe(corpus_df, n_merges=10, min_frequency=2,
+                                 driver_vocab_max=0).collect())
+    )
+    assert local == dist and len(local) == 10
