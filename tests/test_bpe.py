@@ -156,3 +156,29 @@ def test_train_bpe_distributed_equals_local(spark, corpus_df):
                                  driver_vocab_max=0).collect())
     )
     assert local == dist and len(local) == 10
+
+
+def test_encode_bpe_feeds_pack_sequences(spark, corpus_df):
+    """The tokenizer closes the pipeline loop: encode_bpe's token
+    arrays go straight into pack_sequences' pretokenized hook
+    (tokens_col), and the packed streams carry exactly the BPE pieces
+    plus EOS separators."""
+    from faang_pydantics_validation_spark.ops import pack as pkm
+
+    merges = bpe.train_bpe(corpus_df, n_merges=12, min_frequency=2)
+    enc = bpe.encode_bpe(corpus_df, merges)
+    packed = pkm.pack_sequences(
+        enc, "doc_id", "text", seq_len=16, n_groups=2,
+        tokens_col="bpe_tokens",
+    )
+    rows = packed.collect()
+    assert rows, "packing produced sequences"
+    # total packed tokens = total bpe tokens + one EOS per non-empty doc
+    mm = [(r.left, r.right) for r in merges.orderBy("rank").collect()]
+    n_bpe = sum(len(_py_encode(t, mm)) for t in CORPUS)
+    n_docs = sum(1 for t in CORPUS if _py_pretokens(t))
+    assert sum(r.n_tokens for r in rows) == n_bpe + n_docs
+    # every non-EOS token is a learned piece (subset of the BPE output)
+    pieces = {p for t in CORPUS for p in _py_encode(t, mm)}
+    for r in rows:
+        assert all(tok in pieces or tok == "<|eos|>" for tok in r.tokens)
