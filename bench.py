@@ -1,4 +1,13 @@
-"""Bench harness — prints ONE JSON line for the driver.
+"""Bench harness — prints ONE COMPACT JSON line for the driver and
+writes the full result block to ``BENCH/bench_r5_driver.json``.
+
+The driver records only the TAIL of this script's stdout; round 4's
+single giant JSON line overflowed that window and the official artifact
+landed ``parsed: null`` (VERDICT r4, What's wrong #1). The contract is
+now: the FINAL stdout line is a short headline JSON (metric, wall,
+rows/sec, per-query walls, scaling + pipeline efficiencies, and a
+``full`` pointer); everything else — lineage, per-leg walls, IVF/PQ
+blocks, host-control runs — lives in the written file.
 
 Headline metric (per BASELINE.json): validated rows/sec + violations/sec
 over the synthetic source-code table ``(repo, path, commit, lang,
@@ -817,7 +826,70 @@ def main() -> None:
                     (scaling_rows / c_4n) / (4.0 * scaling_rows / c_small), 3
                 )
     spark.stop()
-    print(json.dumps(result))
+
+    # full block → file; stdout gets ONLY the compact headline as the
+    # final line (the driver's tail capture is a bounded window — the
+    # r4 artifact lost its headline to a single oversized JSON line)
+    bench_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH"
+    )
+    os.makedirs(bench_dir, exist_ok=True)
+    full_path = os.path.join(bench_dir, "bench_r5_driver.json")
+    with open(full_path, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(_compact_headline(result, "BENCH/bench_r5_driver.json")))
+
+
+def _compact_headline(result: dict, full_rel: str) -> dict:
+    """The short driver-facing summary: headline wall + throughput,
+    per-query walls, and the efficiency numbers the north rule grades —
+    nothing variable-length (no lineage, no per-leg wall lists), so the
+    line stays well under any plausible tail-capture window."""
+    compact = {
+        k: result[k]
+        for k in (
+            "metric", "value", "unit", "queries", "sf", "rows",
+            "rows_per_sec", "violations_per_sec", "cores",
+        )
+        if k in result
+    }
+    if "scaling" in result:
+        s = result["scaling"]
+        compact["scaling"] = {
+            k: s[k]
+            for k in (
+                "cores_n", "cores_4n", "rows", "wall_n_sec", "wall_4n_sec",
+                "efficiency", "efficiency_compute",
+            )
+            if k in s
+        }
+    if "host_control" in result:
+        compact["host_control_efficiency"] = result["host_control"][
+            "efficiency"
+        ]
+    if "pipeline_e2e" in result:
+        p = result["pipeline_e2e"]
+        compact["pipeline_e2e"] = {
+            k: p[k]
+            for k in (
+                "rows", "n_stages", "cores_n", "cores_4n", "wall_n_sec",
+                "wall_4n_sec", "efficiency", "kept", "error",
+            )
+            if k in p
+        }
+    if "ivf_crossover" in result:
+        c = result["ivf_crossover"]
+        compact["ann"] = {
+            k: c[k]
+            for k in (
+                "speedup_vs_exact", "recall_at_10", "pq_speedup_vs_exact",
+                "pq_recall_at_10", "ivfpq_speedup_vs_exact",
+                "ivfpq_recall_at_10",
+            )
+            if k in c
+        }
+    compact["full"] = full_rel
+    return compact
 
 
 if __name__ == "__main__":

@@ -321,9 +321,11 @@ def _curate_core(spark, df, args, carry: tuple[str, ...] = (), clf=None):
     dedup and a resumed run is bit-identical to an unsharded one.
     ``carry`` names extra input columns (e.g. the checkpoint partition
     id) to pass through the staged projection; ``clf`` is an optional
-    pre-loaded ``(weights_df, n_features)`` pair so the checkpointed
-    path reads and densifies the classifier artifact ONCE per run
-    instead of once per shard group."""
+    pre-loaded ``(weights_df, n_features, weight_row)`` triple — the
+    checkpointed path builds it via ``prepare_weight_row`` so the
+    classifier artifact is read and densified ONCE per run (the
+    materialized single row is reused by every shard group) instead of
+    re-densified inside each group's job."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -349,13 +351,15 @@ def _curate_core(spark, df, args, carry: tuple[str, ...] = (), clf=None):
 
         if clf is None:
             wdf = spark.read.parquet(args.quality_classifier)
-            clf = (wdf, classifier_n_features(wdf))
+            clf = (wdf, classifier_n_features(wdf), None)
         ann = classifier_score(
             ann,
             clf[0],
             text_col="content",
             n_features=clf[1],
             out_col="quality_prob",
+            arrow=getattr(args, "classifier_arrow", False),
+            weight_row=clf[2],
         )
     base_reasons = F.when(
         F.col("has_secrets"),
@@ -407,6 +411,86 @@ def _curate_core(spark, df, args, carry: tuple[str, ...] = (), clf=None):
     return curated.withColumn("kept", F.size("drop_reasons") == 0)
 
 
+def _load_probes(spark, path: str):
+    """Read + schema-validate a decontamination probe table (columns
+    ``probe_id, text``) — shared by the single-pass and checkpointed
+    curate paths so the contract error is identical in both."""
+    probes = spark.read.parquet(path)
+    if not {"probe_id", "text"} <= set(probes.columns):
+        raise SystemExit(
+            "--decontaminate table must have columns (probe_id, text);"
+            f" got {probes.columns}"
+        )
+    return probes
+
+
+def _mark_contaminated(curated, probes, min_containment, announce_short=True):
+    """Mark kept rows containing any eval probe with reason
+    ``contaminated`` — n-gram containment with the probe table
+    broadcast, plus the shared short-probe substring fallback
+    (ops/text.short_probe_hits) for probes under the 8-token n-gram
+    width. Row-local against BROADCAST side tables, so it is shard-safe:
+    the resumable curate path applies it per content-sha shard and the
+    result is bit-identical to the unsharded run (a row's verdict
+    depends only on its own text and the probes). ``announce_short``
+    suppresses the per-call short-probe note in sharded mode, where the
+    caller prints it once up front."""
+    from pyspark.sql import functions as F
+
+    from faang_pydantics_validation_spark.ops.text import (
+        contamination_matches,
+        short_probe_hits,
+    )
+
+    survivors = curated.filter("kept").select("record_id", "content")
+    n_short, short_hit_ids = short_probe_hits(
+        survivors,
+        probes,
+        id_col="record_id",
+        text_col="content",
+        probe_text_col="text",
+        n=8,
+    )
+    if n_short and announce_short:
+        print(
+            f"note: {n_short} probe(s) shorter than the 8-token"
+            " n-gram width screened by exact-substring containment"
+            " instead",
+            file=sys.stderr,
+        )
+    hits = contamination_matches(
+        survivors,
+        probes,
+        id_col="record_id",
+        text_col="content",
+        min_containment=min_containment,
+    ).select("record_id")
+    if short_hit_ids is not None:
+        hits = hits.union(short_hit_ids)
+    hits = (
+        hits.distinct()
+        # benchmark-sized; materialize once instead of re-running the
+        # n-gram containment scan on every downstream reference
+        .localCheckpoint(eager=True)
+    )
+    return (
+        curated.join(
+            F.broadcast(hits.withColumn("__ct", F.lit(True))),
+            "record_id",
+            "left",
+        )
+        .withColumn(
+            "drop_reasons",
+            F.when(
+                F.col("__ct").isNotNull() & F.col("kept"),
+                F.array(F.lit("contaminated")),
+            ).otherwise(F.col("drop_reasons")),
+        )
+        .withColumn("kept", F.size("drop_reasons") == 0)
+        .drop("__ct")
+    )
+
+
 def _curate_counters(spark, args):
     """Shared summary bookkeeping for BOTH curate paths (single-pass
     and checkpointed), from a column-pruned read-back of the WRITTEN
@@ -414,7 +498,8 @@ def _curate_counters(spark, args):
     ``(out_df, summary)`` where summary carries rows_in/kept/dropped,
     per-reason counts, earliest-stage lineage (active stages derive
     from the same args in both modes — the checkpointed path refuses
-    the corpus-global flags up front, so they are simply absent), and
+    the corpus-global flags up front, so only its shard-safe stages,
+    incl. decontaminate, can be active there), and
     the kept-corpus classifier score profile when the learned screen is
     on. One definition so the two paths cannot drift."""
     from pyspark.sql import functions as F
@@ -530,10 +615,17 @@ def _cmd_curate_checkpointed(spark, df, args, t0, owns_session) -> int:
     record_id within the sha, entirely shard-local). Completed shards
     are skipped on re-run; a crash loses at most one in-flight group.
 
-    Corpus-GLOBAL stages (line dedup, MinHash/semantic dedup,
-    decontamination's probe checkpointing aside, mixture, packing,
-    baselines) cannot be sharded by content and are refused up front —
-    run them unsharded, or downstream of the resumable core's output.
+    Decontamination IS allowed here: it is row-local against BROADCAST
+    probe tables (ops/text.contamination_matches + short_probe_hits),
+    so a row's verdict never depends on any other row — per-shard
+    marking equals global marking. The probe table and the short-probe
+    gate are hoisted once per run (probes localCheckpoint; the note
+    prints once), then each shard group applies the same mark.
+
+    Corpus-GLOBAL stages (line dedup, MinHash/semantic dedup, mixture,
+    packing, baselines) cannot be sharded by content and are refused up
+    front — run them unsharded, or downstream of the resumable core's
+    output.
     """
     from pyspark.sql import functions as F
 
@@ -547,7 +639,6 @@ def _cmd_curate_checkpointed(spark, df, args, t0, owns_session) -> int:
         "--line-dedup": args.line_dedup,
         "--neardup": args.neardup,
         "--semdedup": args.semdedup,
-        "--decontaminate": args.decontaminate,
         "--mixture": bool(args.mixture),
         "--pack": args.pack,
         "--save-baseline": args.save_baseline,
@@ -565,19 +656,65 @@ def _cmd_curate_checkpointed(spark, df, args, t0, owns_session) -> int:
     key = partition_key(F.sha2(F.col("content"), 256), n_parts)
     clf = None
     if args.quality_classifier:
-        # load + probe the weight artifact ONCE; per-group reloads would
-        # re-run the range-join densification for every shard group
+        # load, probe AND densify the weight artifact ONCE: the dense
+        # single-row frame is localCheckpointed so every shard group's
+        # job reuses the materialized row — without it, each group
+        # would re-run the range-join densification and the artifact's
+        # parquet scan behind classifier_score's lazy read
         from faang_pydantics_validation_spark.ops.classify import (
             classifier_n_features,
+            prepare_weight_row,
         )
 
         wdf = spark.read.parquet(args.quality_classifier)
-        clf = (wdf, classifier_n_features(wdf))
+        nf = classifier_n_features(wdf)
+        clf = (wdf, nf, prepare_weight_row(wdf, nf))
+    probes = None
+    if args.decontaminate:
+        # hoist the probe artifact ONCE per run: schema validation, a
+        # localCheckpoint so shard groups reuse the materialized
+        # (benchmark-sized) table instead of re-scanning its parquet,
+        # and the short-probe note (probe-side only — counted against
+        # an empty corpus so the shared helper's gating logic is the
+        # single source of truth for what counts as "short")
+        from faang_pydantics_validation_spark.ops.text import (
+            short_probe_hits,
+        )
+
+        probes = _load_probes(spark, args.decontaminate).localCheckpoint(
+            eager=True
+        )
+        n_short, _ = short_probe_hits(
+            df.select(
+                F.lit("").alias("record_id"), F.col("content")
+            ).limit(0),
+            probes,
+            id_col="record_id",
+            text_col="content",
+            probe_text_col="text",
+            n=8,
+        )
+        if n_short:
+            print(
+                f"note: {n_short} probe(s) shorter than the 8-token"
+                " n-gram width screened by exact-substring containment"
+                " instead",
+                file=sys.stderr,
+            )
 
     def process_group(part_df, group):
         cur = _curate_core(
             spark, part_df, args, carry=("__ckpt_part",), clf=clf
-        ).withColumn(
+        )
+        if probes is not None:
+            # row-local vs broadcast probes — shard-safe (see docstring)
+            cur = _mark_contaminated(
+                cur,
+                probes,
+                args.decontaminate_containment,
+                announce_short=False,
+            )
+        cur = cur.withColumn(
             "status", F.when(F.col("kept"), "kept").otherwise("dropped")
         )
         (
@@ -662,8 +799,9 @@ def cmd_curate(args) -> int:
     --checkpoint DIR makes the fused single-pass core RESUMABLE
     (sharded by content sha through the same manifest machinery as
     `run --checkpoint`; per-shard exact dedup equals global dedup, so
-    results are identical to an unsharded run) — corpus-global stages
-    are refused in this mode.
+    results are identical to an unsharded run). --decontaminate is
+    allowed here — it is row-local against broadcast probes, hence
+    shard-safe; the remaining corpus-global stages are refused.
 
     summary.json always carries ``stage_lineage``: rows in/out per
     pipeline stage, attributed by each dropped row's EARLIEST-stage
@@ -783,7 +921,31 @@ def cmd_curate(args) -> int:
                 "--semdedup table must have columns (record_id,"
                 f" embedding); got {emb.columns}"
             )
-        kept_ids = curated.filter("kept").select("record_id")
+        # the curate key (repo:path@commit) is NOT guaranteed unique
+        # upstream (same finding as dedup_lines' composite key), so the
+        # kept side deduplicates to DISTINCT ids before the coverage
+        # join — otherwise kept-side id collisions would inflate the
+        # joined-row count and the error below would blame the embedding
+        # artifact for duplication that lives in the curate input. A
+        # separate kept-side count keeps the attribution honest: ids
+        # shared by several kept payloads get ONE semantic verdict for
+        # all of them (the embedding artifact is keyed by id and cannot
+        # distinguish the payloads), surfaced as a warning, not an abort.
+        kept_tot = curated.filter("kept").agg(
+            F.count(F.lit(1)).alias("t"),
+            F.count_distinct("record_id").alias("d"),
+        ).collect()[0]
+        n_kept = int(kept_tot.d)
+        if kept_tot.t != kept_tot.d:
+            print(
+                f"warning: --semdedup: {kept_tot.t - kept_tot.d} kept"
+                " row(s) share a record_id with another kept row; the"
+                " embedding artifact is keyed by record_id, so all"
+                " payloads sharing an id receive one semantic-dedup"
+                " verdict",
+                file=sys.stderr,
+            )
+        kept_ids = curated.filter("kept").select("record_id").distinct()
         vecs = emb.join(kept_ids, "record_id")
         # join-coverage + uniqueness validation (two small aggs): a key
         # FORMAT mismatch (e.g. 'repo/path@commit' vs the
@@ -794,7 +956,6 @@ def cmd_curate(args) -> int:
             F.count(F.lit(1)).alias("m"),
             F.count_distinct("record_id").alias("d"),
         ).collect()[0]
-        n_kept = kept_ids.count()
         if n_kept and not cov.m:
             raise SystemExit(
                 "--semdedup matched ZERO kept rows: the embedding"
@@ -802,6 +963,8 @@ def cmd_curate(args) -> int:
                 " repo:path@commit keys — fix the artifact's key format"
             )
         if cov.m != cov.d:
+            # kept side is distinct by construction above, so joined-row
+            # multiplicity can only come from the embedding table
             raise SystemExit(
                 f"--semdedup table has duplicate record_id rows"
                 f" ({cov.m} joined rows across {cov.d} distinct ids);"
@@ -849,73 +1012,13 @@ def cmd_curate(args) -> int:
         # containment scan with the probe table broadcast, then a
         # broadcast mark of the (benchmark-sized) contaminated-id set.
         # Dropped rows get reason 'contaminated' instead of vanishing,
-        # so the audit/lineage model still reconciles.
-        from faang_pydantics_validation_spark.ops.text import (
-            contamination_matches,
-        )
-
-        probes = spark.read.parquet(args.decontaminate)
-        if not {"probe_id", "text"} <= set(probes.columns):
-            raise SystemExit(
-                "--decontaminate table must have columns (probe_id, text);"
-                f" got {probes.columns}"
-            )
-        # probes below the n-gram width yield ZERO n-grams and are
-        # invisible to the containment scan — screen them via the
-        # shared ops/text.short_probe_hits helper (case-folded,
-        # whitespace-normalized substring containment; one copy of the
-        # logic so library and CLI can never diverge on which docs are
-        # contaminated).
-        from faang_pydantics_validation_spark.ops.text import (
-            short_probe_hits,
-        )
-
-        survivors = curated.filter("kept").select("record_id", "content")
-        n_short, short_hit_ids = short_probe_hits(
-            survivors,
-            probes,
-            id_col="record_id",
-            text_col="content",
-            probe_text_col="text",
-            n=8,
-        )
-        if n_short:
-            print(
-                f"note: {n_short} probe(s) shorter than the 8-token"
-                " n-gram width screened by exact-substring containment"
-                " instead",
-                file=sys.stderr,
-            )
-        hits = contamination_matches(
-            survivors,
-            probes,
-            id_col="record_id",
-            text_col="content",
-            min_containment=args.decontaminate_containment,
-        ).select("record_id")
-        if short_hit_ids is not None:
-            hits = hits.union(short_hit_ids)
-        hits = (
-            hits.distinct()
-            # benchmark-sized; materialize once instead of re-running the
-            # n-gram containment scan on every downstream reference
-            .localCheckpoint(eager=True)
-        )
-        curated = (
-            curated.join(
-                F.broadcast(hits.withColumn("__ct", F.lit(True))),
-                "record_id",
-                "left",
-            )
-            .withColumn(
-                "drop_reasons",
-                F.when(
-                    F.col("__ct").isNotNull() & F.col("kept"),
-                    F.array(F.lit("contaminated")),
-                ).otherwise(F.col("drop_reasons")),
-            )
-            .withColumn("kept", F.size("drop_reasons") == 0)
-            .drop("__ct")
+        # so the audit/lineage model still reconciles. Shared helper
+        # (_mark_contaminated) so this path and the resumable sharded
+        # path cannot diverge on which docs are contaminated.
+        curated = _mark_contaminated(
+            curated,
+            _load_probes(spark, args.decontaminate),
+            args.decontaminate_containment,
         )
 
     mixture_rates: dict[str, float] = {}
@@ -1467,9 +1570,9 @@ def main(argv=None) -> int:
     pc.add_argument(
         "--checkpoint",
         help="manifest dir for a RESUMABLE curation run (fused"
-        " single-pass core only, sharded by content sha — per-shard"
-        " exact dedup equals global dedup; corpus-global stages are"
-        " refused)",
+        " single-pass core + the shard-safe --decontaminate, sharded"
+        " by content sha — per-shard exact dedup equals global dedup;"
+        " corpus-global stages are refused)",
     )
     pc.add_argument("--n-checkpoint-partitions", type=int, default=64)
     pc.add_argument(
@@ -1486,6 +1589,14 @@ def main(argv=None) -> int:
         metavar="P",
         help="classifier probability below which a doc drops"
         " (default 0.5)",
+    )
+    pc.add_argument(
+        "--classifier-arrow",
+        action="store_true",
+        help="score with the Arrow segment-sum kernel instead of the"
+        " fused JVM expression fold (same results; mapInPandas breaks"
+        " whole-stage fusion of the annotate chain but the kernel"
+        " itself is ~2.4x faster — A/B'd end-to-end in BENCH)",
     )
     pc.add_argument(
         "--decontaminate",

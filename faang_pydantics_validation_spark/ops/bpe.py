@@ -55,9 +55,16 @@ def word_frequencies(
     df: DataFrame, text_col: str = "text", train_fraction: float | None = None
 ) -> DataFrame:
     """(word, n) over the corpus — the single corpus-touching pass of
-    BPE training. ``train_fraction`` bounds it to a deterministic
-    zero-shuffle hash sample of pretokens (training curves saturate far
-    below corpus size — the same argument as PQ's train_fraction)."""
+    BPE training. ``train_fraction`` is a deterministic zero-shuffle
+    hash sample **by word TYPE**: it hashes the word VALUE, so each
+    distinct word is either kept with its full corpus count or dropped
+    entirely — it is NOT a subsample of pretoken occurrences (that
+    would need a positional hash and would shrink every count
+    uniformly). Type sampling bounds the WORD-TABLE size (the thing the
+    merge loop iterates over), which is the scale knob that matters
+    here; note it can drop high-frequency types, so the learned merge
+    sequence differs from a true corpus subsample's — use 1.0/None when
+    the merge sequence must match a full-corpus run."""
     w = df.select(F.explode(_pretokens(F.col(text_col))).alias("word"))
     if train_fraction is not None and train_fraction < 1.0:
         w = w.filter(
@@ -171,6 +178,30 @@ def _local_bpe(
     return merges
 
 
+def select_disjoint_batch(
+    ranked: list[tuple[int, str, str]], batch: int
+) -> list[tuple[str, str]]:
+    """Greedy selection of up to ``batch`` pairwise SYMBOL-DISJOINT
+    pairs from a ranked candidate list ``[(count, left, right), ...]``
+    (already in the pinned order: count DESC, pair ASC). Two merges
+    interact iff they share a symbol — (a,b) then (b,c) changes (b,c)'s
+    count; disjoint merges touch disjoint adjacencies, so their counts
+    and row-local applications commute. Shared by the distributed loop
+    and the pure-Python test mirror so the selection rule cannot
+    drift."""
+    chosen: list[tuple[str, str]] = []
+    used: set[str] = set()
+    for _c, left, right in ranked:
+        if left in used or right in used:
+            continue
+        chosen.append((left, right))
+        used.add(left)
+        used.add(right)
+        if len(chosen) >= batch:
+            break
+    return chosen
+
+
 def train_bpe(
     df: DataFrame,
     text_col: str = "text",
@@ -179,6 +210,7 @@ def train_bpe(
     train_fraction: float | None = None,
     checkpoint_every: int = 8,
     driver_vocab_max: int = 2_000_000,
+    merge_batch: int = 8,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merges from the corpus and return the
     merge table ``(rank int, left string, right string)`` — the
@@ -202,6 +234,22 @@ def train_bpe(
     Same algorithm, same pinned tie-breaks, IDENTICAL merge sequence
     (pytest-pinned against the distributed loop); ``driver_vocab_max=0``
     forces the distributed path for vocabularies past driver memory.
+
+    ``merge_batch`` (distributed path only): accept up to this many
+    pairwise symbol-disjoint merges per iteration — standard batched-
+    BPE practice (disjoint merges have commuting counts and row-local
+    applications, so one pair-count job serves the whole batch and the
+    Spark-job count drops ~batch×; without it the beyond-driver-vocab
+    path is one job per merge, ~4 s each on this host — unusable at
+    32k merges). Caveat, stated not hidden: strict sequential BPE
+    re-ranks after EVERY merge, and a pair CREATED by an earlier batch
+    member (one containing its merged symbol) can in principle outrank
+    a later batch member — batching takes the pre-batch ranking for the
+    whole batch, so the learned sequence can differ from
+    ``merge_batch=1`` in that corner. ``merge_batch=1`` restores exact
+    sequential semantics (pinned against the driver-local loop in
+    pytest); the batched path is pinned against its own pure-Python
+    batched mirror.
     """
     word_df = word_frequencies(df, text_col, train_fraction)
     if driver_vocab_max and word_df.count() <= driver_vocab_max:
@@ -231,7 +279,14 @@ def train_bpe(
     ).localCheckpoint(eager=True)
 
     merges: list[tuple[int, str, str]] = []
-    for rank in range(n_merges):
+    batch = max(int(merge_batch), 1)
+    iters_since_ckpt = 0
+    while len(merges) < n_merges:
+        want = min(batch, n_merges - len(merges))
+        # candidate pool: enough headroom that greedy disjoint selection
+        # can usually fill the batch (TakeOrdered — cut-sized collect,
+        # never the pair table)
+        pool = 1 if want == 1 else max(64, 8 * want)
         pairs = (
             words.select(
                 "n",
@@ -257,16 +312,34 @@ def train_bpe(
             .groupBy("p")
             .agg(F.sum("n").alias("c"))
             .orderBy(F.col("c").desc(), F.col("p.l").asc(), F.col("p.r").asc())
-            .limit(1)
+            .limit(pool)
             .collect()
         )
-        if not pairs or pairs[0]["c"] < min_frequency:
+        ranked = [
+            (int(r["c"]), r["p"]["l"], r["p"]["r"])
+            for r in pairs
+            if r["c"] >= min_frequency
+        ]
+        if not ranked:
             break
-        left, right = pairs[0]["p"]["l"], pairs[0]["p"]["r"]
-        merges.append((rank, left, right))
-        words = words.select("n", _merge_pair(F.col("sym"), left, right).alias("sym"))
-        if (rank + 1) % checkpoint_every == 0:
+        chosen = select_disjoint_batch(ranked, want)
+        # apply the whole batch row-locally with NO extra job: each
+        # merge is its own lazy projection (CollapseProject keeps them
+        # separate — the fold references its input twice and is not
+        # cheap, so no exponential expression inlining), and the next
+        # iteration's single pair-count collect evaluates them all.
+        # Disjoint merges commute, so applying in selection order
+        # equals any other order (a freshly merged l+r is a single
+        # symbol, never a pair, so later folds cannot see it as input).
+        for left, right in chosen:
+            merges.append((len(merges), left, right))
+            words = words.select(
+                "n", _merge_pair(F.col("sym"), left, right).alias("sym")
+            )
+        iters_since_ckpt += 1
+        if iters_since_ckpt >= max(checkpoint_every // batch, 1):
             words = words.localCheckpoint(eager=True)
+            iters_since_ckpt = 0
     spark = df.sparkSession
     return spark.createDataFrame(
         merges or [], "rank int, left string, right string"
@@ -285,11 +358,21 @@ def encode_bpe(
     merge-rank map is a bounded Python broadcast; an LRU word cache
     exploits the Zipf head (the same word never re-derives its pieces
     within an executor). NULL text yields NULL."""
+    if out_col in df.columns:
+        raise ValueError(
+            f"encode_bpe: output column {out_col!r} already exists on"
+            " the input — pass a different out_col"
+        )
     ranks = {
         (r["left"], r["right"]): int(r["rank"]) for r in merges.collect()
     }
     bc = df.sparkSession.sparkContext.broadcast(ranks)
-    staged = df.withColumn("__pt", _pretokens(F.col(text_col)))
+    # uniquified staging column: a hardcoded name would clobber (or be
+    # clobbered by) an input that already carries it
+    pt_col = "__pt"
+    while pt_col in df.columns or pt_col == out_col:
+        pt_col += "_"
+    staged = df.withColumn(pt_col, _pretokens(F.col(text_col)))
     from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
     out_schema = StructType(
@@ -316,16 +399,23 @@ def encode_bpe(
                 if best is None:
                     break
                 syms[bi : bi + 2] = [syms[bi] + syms[bi + 1]]
-            return tuple(s.replace(EOW, "") for s in syms)
+            # strip the sentinel as a SUFFIX only: the sentinel can
+            # appear only at the end of a symbol by construction (it is
+            # appended to the final character and merges concatenate
+            # left-to-right), and suffix-stripping keeps that true even
+            # if a future pretokenizer could emit '</w>' mid-token
+            return tuple(
+                s[: -len(EOW)] if s.endswith(EOW) else s for s in syms
+            )
 
         for pdf in batches:
             toks = [
                 None
                 if pts is None
                 else [p for w in pts for p in word_pieces(w)]
-                for pts in pdf["__pt"]
+                for pts in pdf[pt_col]
             ]
-            res = pdf.drop(columns=["__pt"])
+            res = pdf.drop(columns=[pt_col])
             res[out_col] = toks
             yield res
 

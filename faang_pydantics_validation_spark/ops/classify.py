@@ -122,6 +122,21 @@ def _weight_row(weights: DataFrame, n_features: int) -> DataFrame:
     return F.broadcast(row)
 
 
+def prepare_weight_row(weights: DataFrame, n_features: int) -> DataFrame:
+    """Densify the sparse weight table ONCE and pin the result
+    (``localCheckpoint``) so repeated :func:`classifier_score` calls —
+    resumable curate scores every shard group against the same artifact
+    — reuse the materialized single row instead of re-running the
+    range-join densification (and the artifact's parquet scan behind a
+    lazy read) per call. Returns the broadcast-hinted one-row frame
+    ``classifier_score(weight_row=...)`` accepts."""
+    # localCheckpoint materializes through the hint unchanged; re-hint
+    # the pinned frame so the downstream crossJoin stays a broadcast
+    return F.broadcast(
+        _weight_row(weights, n_features).localCheckpoint(eager=True)
+    )
+
+
 def _logit(feats: Column) -> Column:
     """Row-local logit: Σ w[f] over the document's feature bag, folded
     against the broadcast weight array ``__w``."""
@@ -155,6 +170,7 @@ def classifier_score(
     bigrams: bool = True,
     out_col: str = "quality_prob",
     arrow: bool = False,
+    weight_row: DataFrame | None = None,
 ) -> DataFrame:
     """Append ``out_col`` — the classifier probability in [0, 1] — to
     every row. NULL text scores NULL. Two executions, identical
@@ -178,13 +194,25 @@ def classifier_score(
     ``mapInPandas`` materializes every row through Arrow, which breaks
     whole-stage fusion with the surrounding expressions and drags all
     passthrough columns across the Python boundary.
+
+    ``weight_row``: optional pre-densified single-row weight frame (as
+    built by :func:`prepare_weight_row`) for the expression path.
+    Callers that score MANY frames from one artifact (e.g. resumable
+    curate's per-shard groups) densify once and pass it here; otherwise
+    every call re-runs the range-join densification — and, behind a
+    lazy read, the parquet scan of the artifact itself.
     """
     feats = hashed_ngram_features(
         F.col(text_col), n_features=n_features, bigrams=bigrams
     )
     if not arrow:
+        row = (
+            weight_row
+            if weight_row is not None
+            else _weight_row(weights, n_features)
+        )
         return (
-            df.crossJoin(_weight_row(weights, n_features))
+            df.crossJoin(row)
             .withColumn(out_col, _sigmoid(_logit(feats)))
             .drop("__w")
         )

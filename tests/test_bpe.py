@@ -146,16 +146,94 @@ def test_train_bpe_distributed_equals_local(spark, corpus_df):
     """The driver-local merge loop (vocab fits) and the distributed
     word-table loop are the same algorithm with the same pinned
     tie-breaks — identical merge tables, switchable via
-    driver_vocab_max."""
+    driver_vocab_max. merge_batch=1 = exact sequential semantics."""
     local = sorted(
         map(tuple, bpe.train_bpe(corpus_df, n_merges=10,
                                  min_frequency=2).collect())
     )
     dist = sorted(
         map(tuple, bpe.train_bpe(corpus_df, n_merges=10, min_frequency=2,
-                                 driver_vocab_max=0).collect())
+                                 driver_vocab_max=0, merge_batch=1).collect())
     )
     assert local == dist and len(local) == 10
+
+
+def _py_train_batched(texts, n_merges, min_frequency, batch):
+    """Pure-Python mirror of the BATCHED distributed loop: per round,
+    rank all pairs with the pinned order, greedily take up to ``batch``
+    pairwise symbol-disjoint pairs (the op's own select_disjoint_batch,
+    so the selection rule is shared), apply them in order."""
+    freq = Counter(w for t in texts for w in _py_pretokens(t))
+    vocab = {w: (list(w[:-1]) + [w[-1] + bpe.EOW]) for w in freq}
+    merges = []
+    while len(merges) < n_merges:
+        pairs = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += freq[w]
+        ranked = sorted(
+            ((c, l, r) for (l, r), c in pairs.items() if c >= min_frequency),
+            key=lambda t: (-t[0], t[1], t[2]),
+        )
+        if not ranked:
+            break
+        chosen = bpe.select_disjoint_batch(
+            ranked, min(batch, n_merges - len(merges))
+        )
+        for left, right in chosen:
+            merges.append((left, right))
+            vocab = {w: _py_merge(s, left, right) for w, s in vocab.items()}
+    return merges
+
+
+def test_train_bpe_distributed_batched_matches_mirror(spark, corpus_df):
+    """The default distributed path batches pairwise-disjoint merges
+    (one pair-count job per BATCH, not per merge — the 32k-merge scale
+    fix); its merge sequence is pinned against the pure-Python batched
+    mirror round for round."""
+    dist = sorted(
+        map(tuple, bpe.train_bpe(corpus_df, n_merges=10, min_frequency=2,
+                                 driver_vocab_max=0, merge_batch=4).collect())
+    )
+    expect = [
+        (i, l, r)
+        for i, (l, r) in enumerate(_py_train_batched(CORPUS, 10, 2, 4))
+    ]
+    assert dist == expect and len(dist) == 10
+
+
+def test_select_disjoint_batch_rules():
+    """Greedy disjoint selection: pinned order respected, overlapping
+    pairs skipped (shared symbol on either side), batch size honored."""
+    ranked = [
+        (9, "a", "b"),
+        (8, "b", "c"),   # shares b with (a,b) — skipped
+        (7, "c", "d"),   # shares nothing with (a,b) — taken
+        (6, "x", "a"),   # shares a — skipped
+        (5, "e", "f"),
+    ]
+    assert bpe.select_disjoint_batch(ranked, 3) == [
+        ("a", "b"), ("c", "d"), ("e", "f")
+    ]
+    assert bpe.select_disjoint_batch(ranked, 1) == [("a", "b")]
+
+
+def test_encode_bpe_guards_staging_and_out_columns(spark, corpus_df):
+    """An input already carrying the staging column name must not be
+    clobbered, and an out_col collision fails loudly instead of
+    silently overwriting."""
+    merges = bpe.train_bpe(corpus_df, n_merges=6, min_frequency=2)
+    poisoned = corpus_df.withColumn("__pt", F.lit("keep-me"))
+    out = bpe.encode_bpe(poisoned, merges, "text").collect()
+    assert all(r["__pt"] == "keep-me" for r in out)
+    mm = [(r.left, r.right) for r in merges.orderBy("rank").collect()]
+    by_id = {r.doc_id: r.bpe_tokens for r in out}
+    for i, t in enumerate(CORPUS):
+        assert by_id[i] == _py_encode(t, mm), i
+    with pytest.raises(ValueError, match="already exists"):
+        bpe.encode_bpe(
+            corpus_df.withColumn("bpe_tokens", F.lit(1)), merges, "text"
+        )
 
 
 def test_encode_bpe_feeds_pack_sequences(spark, corpus_df):

@@ -822,3 +822,66 @@ def test_cli_curate_checkpointed_resume_matches_unsharded(tmp_path, spark):
     with _pytest.raises(SystemExit) as exc:
         main(argv + ["--neardup"])
     assert "--neardup" in str(exc.value)
+
+
+def test_cli_curate_checkpointed_decontaminate_matches_unsharded(
+    tmp_path, spark
+):
+    """--decontaminate is row-local against BROADCAST probes, hence
+    shard-safe: the resumable path accepts it (r4's refusal list was
+    over-broad) and produces results identical to the unsharded run —
+    same lineage, same contaminated set, same kept ids."""
+    probe_text = (
+        "what is the capital city of the ancient kingdom described "
+        "in the second passage above respond with exactly one word"
+    )
+    body = "".join(
+        f"def helper_{j}(value_{j}):\n    return value_{j} * {j} + 1\n"
+        for j in range(10)
+    )
+    rows = [
+        (
+            "org/a",
+            f"src/f_{i}.py",
+            "c" * 40,
+            "python",
+            body
+            + (
+                f"# eval: {probe_text}\n"
+                if i % 7 == 0
+                else f"# ordinary trailing comment {i}\n"
+            ),
+        )
+        for i in range(60)
+    ]
+    src = str(tmp_path / "src_ckdc")
+    spark.createDataFrame(
+        rows,
+        "repo string, path string, commit string, lang string,"
+        " content string",
+    ).write.mode("overwrite").parquet(src)
+    probes = str(tmp_path / "probes_ckdc")
+    spark.createDataFrame(
+        [("p1", probe_text)], "probe_id string, text string"
+    ).write.mode("overwrite").parquet(probes)
+
+    ref_dir = str(tmp_path / "ref_ckdc")
+    assert main(["curate", "--input", src, "--output", ref_dir,
+                 "--decontaminate", probes, "--cores", "4"]) == 0
+    ref = json.load(open(f"{ref_dir}/summary.json"))
+    assert ref["drop_reason_counts"].get("contaminated", 0) > 0
+
+    out_dir = str(tmp_path / "ck_ckdc")
+    ckpt = str(tmp_path / "ckm_ckdc")
+    assert main(["curate", "--input", src, "--output", out_dir,
+                 "--decontaminate", probes, "--checkpoint", ckpt,
+                 "--n-checkpoint-partitions", "8", "--cores", "4"]) == 0
+    got = json.load(open(f"{out_dir}/summary.json"))
+    assert (got["rows_in"], got["kept"], got["dropped"]) == (
+        ref["rows_in"], ref["kept"], ref["dropped"])
+    assert got["drop_reason_counts"] == ref["drop_reason_counts"]
+    assert got["stage_lineage"] == ref["stage_lineage"]
+    a = spark.read.parquet(f"{ref_dir}/curated").filter("kept")
+    b = spark.read.parquet(f"{out_dir}/curated").filter("kept")
+    assert a.select("record_id").exceptAll(b.select("record_id")).count() == 0
+    assert b.select("record_id").exceptAll(a.select("record_id")).count() == 0
