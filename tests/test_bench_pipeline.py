@@ -12,6 +12,8 @@ import sys
 
 
 def test_pipeline_e2e_block_structure():
+    import os
+
     code = """
 import json, sys
 sys.path.insert(0, "/root/repo")
@@ -19,11 +21,14 @@ import bench
 out = bench.pipeline_e2e_block(20_000, small=2, big=4, shuffle=8)
 print("PIPELINE_JSON:" + json.dumps(out))
 """
+    env = dict(os.environ)
+    env["SPARK_GRAFT_BENCH_PIPELINE_RUNS"] = "1"
     proc = subprocess.run(
         [sys.executable, "-c", code],
         capture_output=True,
         text=True,
-        timeout=900,
+        timeout=1500,
+        env=env,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     line = [
@@ -40,11 +45,18 @@ print("PIPELINE_JSON:" + json.dumps(out))
     for prev, nxt in zip(lineage, lineage[1:]):
         assert prev["rows_out"] == nxt["rows_in"]
     assert lineage[-1]["rows_out"] == out["kept"]
-    # every configured stage is present in order
+    # every configured stage is present in order — the FULL ten-stage
+    # chain (line_dedup rewrites payloads and never drops, so it shows
+    # up in the summary block, not the drop lineage; license needs
+    # --require-permissive-license)
     assert [s["stage"] for s in lineage] == [
-        "quality", "secrets", "repetition", "exact_dedup",
-        "near_dup", "decontaminate", "mixture",
+        "quality", "secrets", "repetition", "classifier", "exact_dedup",
+        "near_dup", "semantic_dedup", "decontaminate", "mixture",
     ]
+    assert out["n_stages"] == 10
+    assert out["line_dedup"] is not None
+    assert out["classifier"] is not None
+    assert out["overhead_n_sec"] > 0 and out["overhead_4n_sec"] > 0
     # the self-drawn probes guarantee decontamination work happened
     # (hits depend on those docs surviving earlier stages — the stage
     # itself must at least appear with a non-negative count)
