@@ -1815,6 +1815,84 @@ FROM nation
 """
 
 
+# ------------------------------------------- learned quality classifier --
+
+#: pinned literal weights for the classifier contract query: token →
+#: weight, plus the bias. The Spark side hashes these tokens into the
+#: 2^18 feature space (classifier_score's REAL code path: xxhash64
+#: feature map → broadcast dense weight row → logit fold); the oracle
+#: never hashes — it joins token STRINGS to the same weights, which is
+#: equivalent iff no OTHER corpus token collides with a weighted id.
+#: The documents fixture's whitespace vocabulary is 31 tokens at every
+#: SF; tests/test_classify.py asserts the no-collision property so the
+#: equivalence is checked, not assumed.
+CLASSIFIER_SLOT_TOKENS: tuple[tuple[str, float], ...] = (
+    ("join", 0.9), ("hash", -0.7), ("row", 0.55), ("scan", -0.35),
+    ("vector", 0.25), ("window", -0.15), ("spark", 0.45), ("slow", -0.85),
+)
+CLASSIFIER_SLOT_BIAS = -0.1
+CLASSIFIER_SLOT_NF = 1 << 18
+
+
+def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-quality-classifier scoring (ops/classify.classifier_score
+    — the GPT-3/CCNet linear quality screen) over the documents table
+    with LITERAL pinned weights: per doc, sigmoid of the summed weights
+    of its (term-frequency-weighted) tokens plus bias. Exercises the
+    production scoring plan — row-local xxhash64 feature hashing, the
+    single-row broadcast dense weight array, the expression logit fold —
+    with weights small enough to inline as VALUES on the oracle side.
+    Unigrams only (bigrams=False): the oracle joins token strings, and
+    unweighted bigram ids contribute 0 by construction."""
+    from faang_pydantics_validation_spark.ops.classify import (
+        classifier_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    w = spark.createDataFrame(
+        list(CLASSIFIER_SLOT_TOKENS), "tok string, weight double"
+    ).select(
+        F.pmod(F.xxhash64("tok"), F.lit(CLASSIFIER_SLOT_NF))
+        .cast("int")
+        .alias("feature"),
+        "weight",
+    )
+    weights = w.unionByName(
+        spark.createDataFrame(
+            [(CLASSIFIER_SLOT_NF, CLASSIFIER_SLOT_BIAS)],
+            "feature int, weight double",
+        )
+    )
+    return classifier_score(
+        docs,
+        weights,
+        text_col="text",
+        n_features=CLASSIFIER_SLOT_NF,
+        bigrams=False,
+    ).select(
+        "doc_id", F.round("quality_prob", 6).alias("quality_prob")
+    )
+
+
+def _sql_classifier_score() -> str:
+    vals = ",".join(f"('{t}',{v})" for t, v in CLASSIFIER_SLOT_TOKENS)
+    return f"""
+WITH w(tok, wt) AS (VALUES {vals}),
+tk AS (SELECT doc_id,
+              unnest(list_filter(
+                regexp_split_to_array(lower(trim(text)), '\\s+'),
+                t -> t <> '')) AS tok
+       FROM documents WHERE text IS NOT NULL),
+s AS (SELECT tk.doc_id, sum(w.wt) AS sw
+      FROM tk JOIN w ON tk.tok = w.tok GROUP BY tk.doc_id)
+SELECT d.doc_id,
+       CASE WHEN d.text IS NULL THEN NULL
+            ELSE round(1.0/(1.0+exp(-(coalesce(s.sw, 0.0)
+                 + ({CLASSIFIER_SLOT_BIAS})))), 6) END AS quality_prob
+FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+"""
+
+
 def q_export_biosample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2+P3: the FULL BioSamples export shape (material/organism/sex
     always; birth date {text, unit}; breed; relationships — reference
@@ -2365,7 +2443,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "organism_batch": q_organism_batch,
     "sample_types_batch": q_sample_types_batch,
     "stats_grouped_rollup": q_stats_grouped_rollup,
-    "export_purl": q_export_purl,
+    "classifier_score": q_classifier_score,
     "export_biosample": q_export_biosample,
     "report_ordering": q_report_ordering,
     "agg_submission_status": q_agg_submission_status,
@@ -2397,6 +2475,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # information) for chunk_documents — the embedding-pipeline chunker,
 # whose window grid / tail rule / content / counts get full driver
 # adjudication.
+# Round-5 rotation (VERDICT r4 missing #6): export_purl retired — P1's
+# PURL synthesis stays driver-adjudicated INSIDE export_biosample's
+# organism/breed term URLs, and the dedicated 25-row slot carried
+# little extra information — for classifier_score, the learned quality
+# screen's production scoring plan with pinned literal weights (the
+# round-4 component that had pytest-mirror evidence only).
 assert len(QUERIES) == 50, f"driver harvests 50 queries, got {len(QUERIES)}"
 
 ORACLE_SQL: dict[str, str] = {
@@ -2446,7 +2530,7 @@ ORACLE_SQL: dict[str, str] = {
     "organism_batch": SQL_ORGANISM_BATCH,
     "sample_types_batch": SQL_SAMPLE_TYPES_BATCH,
     "stats_grouped_rollup": SQL_STATS_GROUPED_ROLLUP,
-    "export_purl": SQL_EXPORT_PURL,
+    "classifier_score": _sql_classifier_score(),
     "export_biosample": SQL_EXPORT_BIOSAMPLE,
     "report_ordering": SQL_REPORT_ORDERING,
     "agg_submission_status": SQL_AGG_SUBMISSION_STATUS,

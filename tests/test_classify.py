@@ -189,3 +189,59 @@ def test_arrow_scoring_matches_expression_path(spark, labeled):
             assert b[k] is None, k
         else:
             assert abs(a[k] - b[k]) < 1e-12, (k, a[k], b[k])
+
+
+def test_classifier_slot_query_matches_oracle_and_no_collisions(spark):
+    """The round-5 registry slot (queries.classifier_score): the REAL
+    scoring plan with pinned literal weights must value-match the
+    DuckDB oracle, and the oracle's string-join equivalence rests on a
+    checkable property — no corpus token other than the weighted ones
+    may hash to a weighted feature id. Asserted here at sf0.001 (the
+    whitespace vocabulary is identical at every shipped SF)."""
+    import duckdb
+
+    from faang_pydantics_validation_spark import queries as Q
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    weighted = dict(Q.CLASSIFIER_SLOT_TOKENS)
+    ids = (
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.trim("text")), r"\s+"),
+                    lambda t: t != F.lit(""),
+                )
+            ).alias("tok")
+        )
+        .distinct()
+        .select(
+            "tok",
+            F.pmod(F.xxhash64("tok"), F.lit(Q.CLASSIFIER_SLOT_NF))
+            .cast("int")
+            .alias("fid"),
+        )
+        .collect()
+    )
+    weighted_ids = {r.fid for r in ids if r.tok in weighted}
+    colliders = [
+        (r.tok, r.fid)
+        for r in ids
+        if r.tok not in weighted and r.fid in weighted_ids
+    ]
+    assert not colliders, colliders
+
+    got = {
+        r.doc_id: r.quality_prob
+        for r in Q.q_classifier_score(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = {
+        r[0]: r[1]
+        for r in con.execute(Q.ORACLE_SQL["classifier_score"]).fetchall()
+    }
+    assert got == want and len(got) > 0

@@ -1,5 +1,6 @@
-"""The three registry slots rotated out in round 4 (rule_range,
-stats_percentiles, dedup_exact_duplicates) remain part of the engine's
+"""Registry slots rotated out in rounds 4-5 (rule_range,
+stats_percentiles, dedup_exact_duplicates, text_fingerprint,
+rule_const, export_purl) remain part of the engine's
 public query surface — this is the pytest coverage the rotation comment
 in queries.py promises: each retired query still runs AND still
 hash-matches its DuckDB oracle SQL, exactly the adjudication it had as
@@ -31,6 +32,10 @@ RETIRED = [
     ),
     ("text_fingerprint", Q.q_text_fingerprint, Q.SQL_TEXT_FINGERPRINT),
     ("rule_const", Q.q_rule_const, Q.SQL_RULE_CONST),
+    # round-5 rotation: P1's PURL synthesis stays driver-adjudicated
+    # inside export_biosample's *_purl columns; the dedicated slot went
+    # to classifier_score
+    ("export_purl", Q.q_export_purl, Q.SQL_EXPORT_PURL),
 ]
 
 
