@@ -35,7 +35,10 @@ to skip the IVF crossover, SPARK_GRAFT_BENCH_IVF_* for its sizes,
 SPARK_GRAFT_BENCH_PIPELINE=0 to skip the composed curate-pipeline
 block, SPARK_GRAFT_BENCH_PIPELINE_ROWS (default BENCH_ROWS — the
 chain is ~10× heavier per row than the validation pass) for its
-input size.
+input size, SPARK_GRAFT_BENCH_PIPELINE_{RUNS,TARGET,BUDGET} for its
+best-of alternating rounds (same protocol as the scaling block), and
+SPARK_GRAFT_BENCH_PIPELINE_LINE_MIN_DOCS for the line-dedup
+boilerplate threshold.
 """
 
 from __future__ import annotations

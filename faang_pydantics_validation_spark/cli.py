@@ -321,11 +321,13 @@ def _curate_core(spark, df, args, carry: tuple[str, ...] = (), clf=None):
     dedup and a resumed run is bit-identical to an unsharded one.
     ``carry`` names extra input columns (e.g. the checkpoint partition
     id) to pass through the staged projection; ``clf`` is an optional
-    pre-loaded ``(weights_df, n_features, weight_row)`` triple — the
-    checkpointed path builds it via ``prepare_weight_row`` so the
-    classifier artifact is read and densified ONCE per run (the
-    materialized single row is reused by every shard group) instead of
-    re-densified inside each group's job."""
+    pre-loaded ``(weights_df, n_features, weight_row, dense_weights)``
+    tuple — the checkpointed path builds it so the classifier artifact
+    is read and densified ONCE per run (the materialized row / numpy
+    array is reused by every shard group) instead of re-densified
+    inside each group's job. Scoring defaults to the Arrow kernel
+    (1.52× end-to-end in the round-5 alternating A/B at 1M rows);
+    ``--classifier-fused`` restores the expression fold."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -351,15 +353,16 @@ def _curate_core(spark, df, args, carry: tuple[str, ...] = (), clf=None):
 
         if clf is None:
             wdf = spark.read.parquet(args.quality_classifier)
-            clf = (wdf, classifier_n_features(wdf), None)
+            clf = (wdf, classifier_n_features(wdf), None, None)
         ann = classifier_score(
             ann,
             clf[0],
             text_col="content",
             n_features=clf[1],
             out_col="quality_prob",
-            arrow=getattr(args, "classifier_arrow", False),
+            arrow=getattr(args, "classifier_arrow", True),
             weight_row=clf[2],
+            dense_weights=clf[3],
         )
     base_reasons = F.when(
         F.col("has_secrets"),
@@ -656,19 +659,23 @@ def _cmd_curate_checkpointed(spark, df, args, t0, owns_session) -> int:
     key = partition_key(F.sha2(F.col("content"), 256), n_parts)
     clf = None
     if args.quality_classifier:
-        # load, probe AND densify the weight artifact ONCE: the dense
-        # single-row frame is localCheckpointed so every shard group's
-        # job reuses the materialized row — without it, each group
-        # would re-run the range-join densification and the artifact's
-        # parquet scan behind classifier_score's lazy read
+        # load, probe AND densify the weight artifact ONCE per run —
+        # per-group reloads would re-run the densification (and the
+        # artifact's parquet scan behind a lazy read) for every shard
+        # group. Arrow mode (the default) hoists the dense numpy array;
+        # fused mode hoists the localCheckpointed single-row frame.
         from faang_pydantics_validation_spark.ops.classify import (
             classifier_n_features,
+            collect_dense_weights,
             prepare_weight_row,
         )
 
         wdf = spark.read.parquet(args.quality_classifier)
         nf = classifier_n_features(wdf)
-        clf = (wdf, nf, prepare_weight_row(wdf, nf))
+        if getattr(args, "classifier_arrow", True):
+            clf = (wdf, nf, None, collect_dense_weights(wdf, nf))
+        else:
+            clf = (wdf, nf, prepare_weight_row(wdf, nf), None)
     probes = None
     if args.decontaminate:
         # hoist the probe artifact ONCE per run: schema validation, a
@@ -1592,11 +1599,22 @@ def main(argv=None) -> int:
     )
     pc.add_argument(
         "--classifier-arrow",
+        dest="classifier_arrow",
         action="store_true",
-        help="score with the Arrow segment-sum kernel instead of the"
-        " fused JVM expression fold (same results; mapInPandas breaks"
-        " whole-stage fusion of the annotate chain but the kernel"
-        " itself is ~2.4x faster — A/B'd end-to-end in BENCH)",
+        default=True,
+        help="score with the Arrow segment-sum kernel (the DEFAULT:"
+        " the round-5 end-to-end alternating A/B at 1M rows measured"
+        " the whole curate chain 1.52x faster with the Arrow scorer"
+        " than expression-fused — the kernel win beats the lost"
+        " whole-stage fusion)",
+    )
+    pc.add_argument(
+        "--classifier-fused",
+        dest="classifier_arrow",
+        action="store_false",
+        help="score with the JVM expression fold fused into the"
+        " annotate chain instead (same results; pure-JVM plan, no"
+        " Python workers — slower end to end at corpus scale)",
     )
     pc.add_argument(
         "--decontaminate",

@@ -122,6 +122,21 @@ def _weight_row(weights: DataFrame, n_features: int) -> DataFrame:
     return F.broadcast(row)
 
 
+def collect_dense_weights(weights: DataFrame, n_features: int):
+    """Dense ``np.ndarray`` of length ``n_features + 1`` from the
+    sparse weight table — the Arrow scorer's transport. The table is a
+    bounded artifact (≤ n_features + 1 rows, ~2 MB dense), so the
+    collect is cut-sized, never corpus-sized; hoist it via
+    ``classifier_score(dense_weights=...)`` when scoring many frames
+    from one artifact (resumable curate's shard groups)."""
+    import numpy as np
+
+    dense = np.zeros(n_features + 1, dtype=np.float64)
+    for r in weights.collect():
+        dense[int(r["feature"])] = float(r["weight"])
+    return dense
+
+
 def prepare_weight_row(weights: DataFrame, n_features: int) -> DataFrame:
     """Densify the sparse weight table ONCE and pin the result
     (``localCheckpoint``) so repeated :func:`classifier_score` calls —
@@ -171,6 +186,7 @@ def classifier_score(
     out_col: str = "quality_prob",
     arrow: bool = False,
     weight_row: DataFrame | None = None,
+    dense_weights=None,
 ) -> DataFrame:
     """Append ``out_col`` — the classifier probability in [0, 1] — to
     every row. NULL text scores NULL. Two executions, identical
@@ -189,11 +205,16 @@ def classifier_score(
       engine only interprets). Measured 2.4× faster on 200k code files
       (same-session alternating A/B, best 34.6 s → 14.5 s).
 
-    Pick ``arrow=True`` for a STANDALONE scoring pass; keep the default
-    inside fused column programs (curate's annotate chain) —
-    ``mapInPandas`` materializes every row through Arrow, which breaks
-    whole-stage fusion with the surrounding expressions and drags all
-    passthrough columns across the Python boundary.
+    Which default where: ``arrow=True`` for a standalone scoring pass
+    AND for curate's end-to-end chain — the round-5 alternating A/B at
+    1M rows measured the full curate pipeline (annotate chain + dedup
+    window + write) at best 260.3 s expression-fused vs 171.4 s with
+    the Arrow scorer spliced mid-chain (**1.52× end to end**), so the
+    "keep the chain fused" argument LOSES at corpus scale and curate
+    now defaults to Arrow (``--classifier-fused`` restores the
+    expression form). The expression path remains the right choice
+    when the caller needs a pure-JVM plan (no Python workers at all) or
+    scores tiny frames where the Arrow batch setup dominates.
 
     ``weight_row``: optional pre-densified single-row weight frame (as
     built by :func:`prepare_weight_row`) for the expression path.
@@ -201,6 +222,10 @@ def classifier_score(
     curate's per-shard groups) densify once and pass it here; otherwise
     every call re-runs the range-join densification — and, behind a
     lazy read, the parquet scan of the artifact itself.
+    ``dense_weights``: the Arrow-path analog — a prebuilt
+    ``np.ndarray`` of length ``n_features + 1`` (see
+    :func:`collect_dense_weights`); when absent the weight table is
+    collected per call.
     """
     feats = hashed_ngram_features(
         F.col(text_col), n_features=n_features, bigrams=bigrams
@@ -219,11 +244,11 @@ def classifier_score(
 
     import numpy as np
 
-    dense = np.zeros(n_features + 1, dtype=np.float64)
-    # the weight table is a bounded artifact (≤ n_features + 1 rows,
-    # ~2 MB dense) — collecting it is cut-sized, never corpus-sized
-    for r in weights.collect():
-        dense[int(r["feature"])] = float(r["weight"])
+    dense = (
+        dense_weights
+        if dense_weights is not None
+        else collect_dense_weights(weights, n_features)
+    )
     bw = df.sparkSession.sparkContext.broadcast(dense)
 
     from pyspark.sql.types import DoubleType, StructField, StructType
