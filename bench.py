@@ -541,7 +541,16 @@ def _pipeline_classifier(spark, input_path: str) -> str:
     bootstrap from the rule filter's own verdict on a 20k hash sample —
     the recipe a real pipeline uses before human labels exist. The
     weight artifact feeds curate --quality-classifier in every timed
-    leg."""
+    leg.
+
+    The bootstrap sample is ~18% positive; the CCNet/fastText recipe
+    trains on a BALANCED gold-vs-junk sample so the 0.5 decision
+    threshold is a meaningful operating point — without it the bias
+    absorbs the class prior and EVERY document scores < 0.5, turning
+    curate's classifier stage into a drop-everything degenerate
+    (measured round 5: imbalanced/3-iter kept 0 of 1M; balanced
+    lr=4/8-iter keeps 100% of rule-positives and rejects 95.6% of
+    rule-negatives at the default threshold)."""
     path = input_path + "_clf"
     if not os.path.exists(path + "/_SUCCESS"):
         from faang_pydantics_validation_spark.ops import classify as clf
@@ -556,8 +565,21 @@ def _pipeline_classifier(spark, input_path: str) -> str:
             F.col("code_keep").cast("double").alias("label"),
             F.col("content").alias("text"),
         )
+        pos = labeled.filter(F.col("label") == 1.0)
+        neg = labeled.filter(F.col("label") == 0.0)
+        n_pos, n_neg = pos.count(), neg.count()
+        if 0 < n_pos < n_neg:  # downsample the majority side by hash
+            neg = neg.filter(
+                F.pmod(F.xxhash64("text"), F.lit(max(n_neg // n_pos, 1)))
+                == 0
+            )
+        elif 0 < n_neg < n_pos:
+            pos = pos.filter(
+                F.pmod(F.xxhash64("text"), F.lit(max(n_pos // n_neg, 1)))
+                == 0
+            )
         clf.train_quality_classifier(
-            labeled, n_features=1 << 18, iters=3
+            pos.unionAll(neg), n_features=1 << 18, iters=8, lr=4.0
         ).write.mode("overwrite").parquet(path)
     return path
 
