@@ -1031,7 +1031,8 @@ def _compact_headline(result: dict, full_rel: str) -> dict:
             k: p[k]
             for k in (
                 "rows", "n_stages", "cores_n", "cores_4n", "wall_n_sec",
-                "wall_4n_sec", "efficiency", "kept", "error",
+                "wall_4n_sec", "efficiency", "efficiency_compute", "kept",
+                "error",
             )
             if k in p
         }

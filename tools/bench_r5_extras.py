@@ -197,7 +197,7 @@ def leg_clf_ab() -> None:
             "curate", "--input", in_path, "--output", out_dir,
             "--repetition", "--quality-classifier", clf_path,
             "--cores", str(cores), "--shuffle-partitions", "64",
-        ] + (["--classifier-arrow"] if arrow else [])
+        ] + (["--classifier-arrow"] if arrow else ["--classifier-fused"])
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             rc = fcli.main(argv)
