@@ -373,6 +373,183 @@ def _broadcast_centroid_row(
     return F.broadcast(row)
 
 
+#: cell count past which the "auto" kernel switches assignment (and
+#: SemDeDup's within-cell pair scoring) from the JVM expression fold to
+#: the Arrow/numpy kernel. The expression argmax is a higher-order
+#: ArrayAggregate/ZipWith — CodegenFallback, INTERPRETED (~100 µs per
+#: centroid dot on this host): fine at search-scale cell counts (√N —
+#: the bench's 128-cell IVF build is seconds), catastrophic at dedup-
+#: scale ones (SemDeDup's N/150 contract: 1M rows × 6,666 cells ≈
+#: 6.7×10⁹ interpreted dot folds ≈ HOURS, thread-dump-verified stuck in
+#: ArrayAggregate.eval). Past ~512 cells the one-time cost of shipping
+#: rows through Arrow is repaid thousands of times over by dgemm.
+ARROW_ASSIGN_MIN_CELLS = 512
+
+
+def _centroid_matrix(
+    centroids: list[tuple[int, list[float]]] | DataFrame,
+    cell_col: str = "cell",
+    vec_col: str = "centroid",
+):
+    """Centroid list/DataFrame → (cells ascending int64 vector, k×d
+    float64 matrix) for the Arrow kernel. A DataFrame input collects —
+    the centroid table is INDEX-sized (n_cells × dim, the same volume
+    the JVM broadcast join ships to every executor), so the driver
+    round-trip here is the standard FAISS-style kernel transport, not a
+    corpus collect; centroid tables past driver memory stay on the
+    expression/broadcast-join path."""
+    import numpy as np
+
+    if isinstance(centroids, DataFrame):
+        rows = centroids.select(cell_col, vec_col).collect()
+        items = [(int(r[cell_col]), list(r[vec_col])) for r in rows]
+    else:
+        items = [(int(c), list(v)) for c, v in centroids]
+    if not items:
+        raise ValueError("arrow assignment needs at least one centroid")
+    items.sort(key=lambda t: t[0])
+    cells = np.array([c for c, _ in items], dtype=np.int64)
+    mat = np.array([v for _, v in items], dtype=np.float64)
+    if mat.ndim != 2:
+        raise ValueError("arrow assignment needs uniform centroid dims")
+    return cells, mat
+
+
+def _resolve_assign_kernel(
+    kernel: str,
+    centroids: list[tuple[int, list[float]]] | DataFrame | None,
+    n_cells: int | None = None,
+) -> str:
+    if kernel not in ("expr", "arrow", "auto"):
+        raise ValueError(
+            f"kernel must be 'expr', 'arrow' or 'auto', got {kernel!r}"
+        )
+    if kernel != "auto":
+        return kernel
+    if n_cells is None:
+        if centroids is None:
+            return "expr"
+        n_cells = (
+            centroids.count()
+            if isinstance(centroids, DataFrame)
+            else len(centroids)
+        )
+    return "arrow" if n_cells >= ARROW_ASSIGN_MIN_CELLS else "expr"
+
+
+def _ivf_assign_arrow(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]] | DataFrame,
+    vec_col: str,
+    cell_col: str,
+    centroid_cell_col: str,
+    centroid_vec_col: str,
+    score_col: str | None,
+) -> DataFrame:
+    """Arrow/numpy twin of the expression argmax in :func:`ivf_assign`:
+    ONE ``mapInPandas`` whose per-batch work is a float64 dgemm
+    (chunked so the score block stays ~32 MB), norms via einsum, scores
+    rounded to 6 dp, argmax ties to the smaller cell (cells sorted
+    ascending; ``np.argmax`` returns the first maximum). Parity with
+    the expression path, stated exactly: NULL / empty / zero-norm
+    vectors score 0.0 against every centroid there (``cosine_pre``
+    maps non-positive denominators to 0.0) and land in the smallest
+    cell with score 0.0; a WRONG-dim vector with positive norm scores
+    NULL per centroid (zip_with NULL-padding nulls the dot while the
+    denominator stays positive), so it lands in the smallest cell with
+    score NULL — unless a zero-norm centroid exists, whose 0.0 score
+    beats the NULL-score structs in Spark's struct ordering and claims
+    the row. The kernel reproduces all three corners; rounding is numpy half-even vs the JVM's
+    BigDecimal HALF_UP, which differ only on exact .5×10⁻⁶ boundaries
+    (measure-zero for dot products; pinned equal on the test fixtures);
+    and the dgemm's reassociated sums can flip an argmax only when two
+    centroids lie within ~1e-15 of cosine. The sanctioned-escape-hatch
+    rationale is the classifier scorer's (ops/classify.py): the
+    expression fold is interpreted, and here it sits inside an
+    O(N × n_cells) loop."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    cells, mat = _centroid_matrix(
+        centroids, centroid_cell_col, centroid_vec_col
+    )
+    cnorm = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+    bc = df.sparkSession.sparkContext.broadcast((cells, mat, cnorm))
+
+    base = df.drop(cell_col) if cell_col in df.columns else df
+    if score_col is not None and score_col in base.columns:
+        base = base.drop(score_col)
+    out_fields = list(base.schema.fields) + [
+        StructField(cell_col, IntegerType(), False)
+    ]
+    if score_col is not None:
+        out_fields.append(StructField(score_col, DoubleType(), True))
+    out_schema = StructType(out_fields)
+
+    def assign_batches(batches):
+        cells_, mat_, cnorm_ = bc.value
+        k, d = mat_.shape
+        zero_cn = np.nonzero(cnorm_ == 0.0)[0]
+        chunk = max(64, 4_000_000 // max(k, 1))
+        for pdf in batches:
+            n = len(pdf)
+            # degenerate defaults (expression-path parity, see
+            # docstring): NULL/empty/zero-norm → smallest cell, 0.0
+            cell_out = np.full(n, cells_[0], dtype=np.int64)
+            score_out = np.zeros(n, dtype=np.float64)
+            null_score = np.zeros(n, dtype=bool)
+            lens = pdf[vec_col].map(
+                lambda v: len(v) if v is not None else -1
+            ).to_numpy()
+            # wrong-dim with positive norm: dot is NULL, denom > 0
+            for i in np.nonzero((lens > 0) & (lens != d))[0]:
+                v = np.asarray(pdf[vec_col].iloc[i], dtype=np.float64)
+                if (v != 0.0).any():
+                    if len(zero_cn):
+                        cell_out[i] = cells_[zero_cn[0]]
+                    else:
+                        null_score[i] = True
+            idxs = np.nonzero(lens == d)[0]
+            for s in range(0, len(idxs), chunk):
+                sel = idxs[s : s + chunk]
+                V = np.array(
+                    pdf[vec_col].iloc[sel].tolist(), dtype=np.float64
+                )
+                S = V @ mat_.T
+                denom = np.outer(
+                    np.sqrt(np.einsum("ij,ij->i", V, V)), cnorm_
+                )
+                np.divide(S, denom, out=S, where=denom > 0)
+                S[denom <= 0] = 0.0
+                np.round(S, 6, out=S)
+                am = np.argmax(S, axis=1)
+                cell_out[sel] = cells_[am]
+                score_out[sel] = S[np.arange(len(sel)), am]
+            out = pdf.copy()
+            out[cell_col] = cell_out.astype(np.int32)
+            if score_col is not None:
+                if null_score.any():
+                    out[score_col] = pd.Series(
+                        [
+                            None if null_score[i] else float(score_out[i])
+                            for i in range(n)
+                        ],
+                        index=pdf.index,
+                        dtype=object,
+                    )
+                else:
+                    out[score_col] = score_out
+            yield out
+
+    return base.mapInPandas(assign_batches, out_schema)
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: list[tuple[int, list[float]]] | DataFrame,
@@ -382,6 +559,7 @@ def ivf_assign(
     centroid_cell_col: str = "cell",
     centroid_vec_col: str = "centroid",
     score_col: str | None = None,
+    kernel: str = "expr",
 ) -> DataFrame:
     """IVF cell assignment, computed ROW-LOCALLY: argmax-cosine is an
     expression fold over the centroid array — the corpus is never
@@ -398,7 +576,27 @@ def ivf_assign(
 
     ``score_col`` additionally emits the (6-dp-rounded) cosine to the
     ASSIGNED centroid — free, it is the argmax's own winning score;
-    :func:`semdedup` ranks duplicate-group members by it."""
+    :func:`semdedup` ranks duplicate-group members by it.
+
+    ``kernel``: ``"expr"`` (default — the JVM expression fold above,
+    scan-fused, streaming-safe, zero Python), ``"arrow"`` (the numpy
+    dgemm kernel, :func:`_ivf_assign_arrow` — the higher-order fold is
+    CodegenFallback-interpreted, so past a few hundred centroids the
+    Arrow batch transfer is repaid ~100×), or ``"auto"`` (arrow iff
+    n_cells ≥ :data:`ARROW_ASSIGN_MIN_CELLS`). Same assignment and
+    scores either way up to the documented measure-zero rounding
+    corners; parity is pinned in tests."""
+    kernel = _resolve_assign_kernel(kernel, centroids)
+    if kernel == "arrow":
+        return _ivf_assign_arrow(
+            df,
+            centroids,
+            vec_col,
+            cell_col,
+            centroid_cell_col,
+            centroid_vec_col,
+            score_col,
+        )
 
     def _with_best(staged: DataFrame, cents: Column) -> DataFrame:
         best = F.array_max(
@@ -495,6 +693,7 @@ def train_ivf_centroids(
     refine_iters: int = 0,
     cell_col: str = "cell",
     centroid_vec_col: str = "centroid",
+    kernel: str = "expr",
 ) -> DataFrame:
     """Fully DISTRIBUTED Lloyd training: same seeding and refinement
     semantics as :func:`select_ivf_centroids`, but the centroid table
@@ -528,6 +727,12 @@ def train_ivf_centroids(
     floating-point reassociation in the means (different partial-agg
     grouping), ~1e-12 — parity is pinned in
     tests/test_ops.py::test_train_ivf_centroids_matches_literal_trainer.
+
+    ``kernel`` picks the per-iteration assignment implementation
+    (see :func:`ivf_assign`): ``"auto"`` uses the Arrow dgemm kernel
+    when ``n_cells`` ≥ :data:`ARROW_ASSIGN_MIN_CELLS` — at dedup-scale
+    cell counts the interpreted expression argmax inside the Lloyd loop
+    is the dominant training cost by orders of magnitude.
     """
     import math
 
@@ -548,6 +753,7 @@ def train_ivf_centroids(
             F.col("__v").cast("array<double>").alias(centroid_vec_col),
         )
     )
+    kernel = _resolve_assign_kernel(kernel, None, n_cells=n_cells)
     for _ in range(refine_iters):
         assigned = ivf_assign(
             df,
@@ -557,6 +763,7 @@ def train_ivf_centroids(
             cell_col="__cell",
             centroid_cell_col=cell_col,
             centroid_vec_col=centroid_vec_col,
+            kernel=kernel,
         )
         means = (
             assigned.select(
@@ -780,6 +987,80 @@ def embedding_near_dup_pairs(
     return pairs.filter(F.col("score") >= threshold)
 
 
+def _semdedup_pairs_arrow(
+    h: DataFrame, threshold: float, round_dp: int | None
+) -> DataFrame:
+    """Arrow/numpy twin of the within-cell pair scorer: one
+    ``applyInPandas`` per cell computing the cell's gram matrix in
+    row blocks (block × |cell| scores ≤ ~16 MB) instead of
+    materializing |cell|² joined rows through the interpreted
+    ZipWith/ArrayAggregate dot fold. Same exchange shape as the
+    expression path (ONE shuffle keyed by cell — the self-join
+    shuffles by the same key); ids sorted ascending inside the cell so
+    ``id_a < id_b`` exactly like the join condition. Zero-norm parity:
+    non-positive denominators score 0.0 (``cosine_pre``). Scores are
+    numpy doubles — reassociated sums differ from the left-to-right
+    expression fold at ~1e-15, which can flip the ≥ threshold test only
+    on exact boundaries (measure-zero; parity pinned on fixtures);
+    ``round_dp`` rounds half-even vs the JVM's HALF_UP (same caveat).
+    Requires uniform vector dims within a cell (raises otherwise — the
+    expression path scores ragged pairs 0.0 via zip_with NULL-padding,
+    a corner only malformed corpora hit)."""
+    import numpy as np
+    import pandas as pd
+
+    id_type = h.schema["doc_id"].dataType.simpleString()
+    out_schema = f"id_a {id_type}, id_b {id_type}, score double"
+
+    def _gram_uniform(sub, parts):
+        # sub: rows of ONE (cell, dim) group, already id-sorted
+        n = len(sub)
+        if n < 2:
+            return
+        V = np.array(sub["__vec"].tolist(), dtype=np.float64)
+        ids = sub["doc_id"].to_numpy()
+        nr = np.sqrt(np.einsum("ij,ij->i", V, V))
+        block = max(16, 2_000_000 // max(n, 1))
+        for s0 in range(0, n - 1, block):
+            s1 = min(s0 + block, n)
+            S = V[s0:s1] @ V.T
+            denom = np.outer(nr[s0:s1], nr)
+            np.divide(S, denom, out=S, where=denom > 0)
+            S[denom <= 0] = 0.0
+            if round_dp is not None:
+                np.round(S, round_dp, out=S)
+            rows, cols = np.nonzero(S >= threshold)
+            keep = cols > rows + s0  # strict upper triangle, globally
+            rows, cols = rows[keep], cols[keep]
+            if len(rows):
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": ids[rows + s0],
+                            "id_b": ids[cols],
+                            "score": S[rows, cols],
+                        }
+                    )
+                )
+
+    def gram(pdf):
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "score": []})
+        pdf = pdf.sort_values("doc_id")
+        if len(pdf) < 2:
+            return empty
+        parts: list = []
+        # per-DIM sub-grams: the expression path scores a cross-dim
+        # pair NULL (zip_with NULL-padding nulls the fold) and the
+        # threshold filter drops NULL — so cross-dim pairs never emit,
+        # while same-dim pairs inside a minority-dim group still do.
+        # A zero-dim group's gram is all 0.0 (cosine_pre parity).
+        for _dim, sub in pdf.groupby(pdf["__vec"].map(len), sort=False):
+            _gram_uniform(sub, parts)
+        return pd.concat(parts) if parts else empty
+
+    return h.groupBy("__cell").applyInPandas(gram, out_schema)
+
+
 def semdedup_pairs(
     assigned: DataFrame,
     threshold: float = 0.95,
@@ -788,6 +1069,7 @@ def semdedup_pairs(
     cell_col: str = "cell",
     max_cluster_size: int | None = None,
     round_dp: int | None = None,
+    kernel: str = "expr",
 ) -> DataFrame:
     """Within-cluster semantic-duplicate pairs for :func:`semdedup`:
     ``(id_a, id_b, score)`` where both rows share an IVF/k-means cell
@@ -811,7 +1093,16 @@ def semdedup_pairs(
 
     ``round_dp`` mirrors :func:`embedding_near_dup_pairs`: None
     thresholds the raw cosine; oracle twins pass 6 for cross-engine
-    reproducibility."""
+    reproducibility.
+
+    ``kernel``: ``"expr"`` (default — the fused JVM join + dot fold) or
+    ``"arrow"`` (:func:`_semdedup_pairs_arrow` — per-cell numpy gram;
+    the interpreted per-pair fold is ~100 µs while the gram amortizes
+    to nanoseconds per pair, the difference between minutes and hours
+    at SemDeDup's N/150 cell sizing). ``"auto"`` is resolved by the
+    caller (:func:`semdedup`) which knows the cell count."""
+    if kernel not in ("expr", "arrow"):
+        raise ValueError(f"kernel must be 'expr' or 'arrow', got {kernel!r}")
     h = assigned.select(
         F.col(id_col).alias("doc_id"),
         F.col(vec_col).alias("__vec"),
@@ -828,6 +1119,10 @@ def semdedup_pairs(
             )
             .filter(F.col("__csz") <= max_cluster_size)
             .drop("__csz")
+        )
+    if kernel == "arrow":
+        return _semdedup_pairs_arrow(
+            h.select("doc_id", "__vec", "__cell"), threshold, round_dp
         )
     left, right = h.alias("l"), h.alias("r")
     pairs = left.join(
@@ -862,6 +1157,7 @@ def semdedup(
     vec_col: str = "embedding",
     max_cluster_size: int | None = None,
     max_iter: int = 25,
+    kernel: str = "auto",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication over an embedding column — remove documents whose
@@ -905,19 +1201,39 @@ def semdedup(
     COARSER than the paper's greedy sequential sweep (A≈B, B≈C groups
     {A,B,C} even if cos(A,C) < threshold) — order-independence is what
     a distributed engine must pin; the paper's per-cluster iteration
-    order is an artifact of its single-GPU loop."""
+    order is an artifact of its single-GPU loop.
+
+    ``kernel`` (default ``"auto"``): the assignment argmax and the
+    within-cell pair scorer switch from the JVM expression fold to the
+    Arrow/numpy kernel once the cell count reaches
+    :data:`ARROW_ASSIGN_MIN_CELLS` — SemDeDup's own sizing contract
+    (n_cells ≈ N/150) makes assignment O(N²·dim/150), which the
+    CodegenFallback-interpreted fold turns into hours at 10⁶ rows while
+    the dgemm kernel runs it in seconds. One resolution drives training,
+    assignment and pairing so the whole job graph uses one path;
+    contract-scale fixtures stay on ``"expr"`` (hashes unchanged)."""
     if keep not in ("far", "near", "min_id"):
         raise ValueError(
             f"keep must be 'far', 'near' or 'min_id', got {keep!r}"
         )
     if centroids is None:
+        if n_cells is None:
+            import math
+
+            n_cells = max(
+                16, math.isqrt(df.filter(F.col(vec_col).isNotNull()).count())
+            )
+        kernel = _resolve_assign_kernel(kernel, None, n_cells=n_cells)
         centroids = train_ivf_centroids(
             df,
             n_cells=n_cells,
             id_col=id_col,
             vec_col=vec_col,
             refine_iters=refine_iters,
+            kernel=kernel,
         )
+    else:
+        kernel = _resolve_assign_kernel(kernel, centroids)
     assigned = ivf_assign(
         df,
         centroids,
@@ -925,6 +1241,7 @@ def semdedup(
         vec_col,
         cell_col="semdedup_cell",
         score_col="__csim",
+        kernel=kernel,
     )
     from faang_pydantics_validation_spark.ops.dedup import (
         duplicate_components,
@@ -937,6 +1254,7 @@ def semdedup(
         vec_col=vec_col,
         cell_col="semdedup_cell",
         max_cluster_size=max_cluster_size,
+        kernel=kernel,
     )
     comps = duplicate_components(pairs, max_iter=max_iter).select(
         F.col("doc_id").alias("__sd_id"),
