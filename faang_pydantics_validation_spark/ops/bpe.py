@@ -123,9 +123,21 @@ def _local_bpe(
     pair→word index, updated INCREMENTALLY after each merge so only
     words containing the merged pair are touched). Identical merge
     sequence to the distributed loop — same pinned tie-break (count
-    DESC, pair ASC). Per-merge argmax is a linear scan of the live pair
-    set; fine into the tens of thousands of merges at vocabulary sizes
-    that fit a driver (the threshold gating this path)."""
+    DESC, pair ASC).
+
+    Per-merge argmax is a LAZY-DELETION HEAP (the HF-tokenizers
+    practice), not a scan of the live pair set: a linear scan is
+    O(|pairs|) per merge — at a 1M-document corpus the word table
+    carries ~10⁷ live pairs, so 32k merges would be ~10¹¹ Python
+    comparisons (days); the heap makes it pop-until-fresh. Invariant:
+    every live pair has at least one heap entry with count ≥ its true
+    count (exact entries are pushed at build and on every increase;
+    decreases leave stale higher entries). A popped entry whose count
+    is stale is re-pushed with the pair's exact current count, so the
+    first FRESH pop is the true (count DESC, pair ASC) argmax — heap
+    keys are (-count, pair), and heapq pops the smallest, which is
+    exactly that tie-break."""
+    import heapq
     from collections import Counter, defaultdict
 
     vocab: dict[str, list[str]] = {
@@ -139,13 +151,30 @@ def _local_bpe(
             p = (syms[i], syms[i + 1])
             stats[p] += n
             index[p][w] = index[p].get(w, 0) + 1
+    heap: list[tuple[int, tuple[str, str]]] = [
+        (-c, p) for p, c in stats.items()
+    ]
+    heapq.heapify(heap)
+
+    def _pop_max() -> tuple[tuple[str, str], int] | None:
+        while heap:
+            negc, p = heapq.heappop(heap)
+            cur = stats.get(p)
+            if cur is None:
+                continue  # pair died since this entry was pushed
+            if -negc == cur:
+                return p, cur
+            # stale (count decreased since push): correct it and keep
+            # popping — the corrected entry re-enters heap order
+            heapq.heappush(heap, (-cur, p))
+        return None
+
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
-        if not stats:
+        best = _pop_max()
+        if best is None:
             break
-        (left, right), c = min(
-            stats.items(), key=lambda kv: (-kv[1], kv[0])
-        )
+        (left, right), c = best
         if c < min_frequency:
             break
         merges.append((left, right))
@@ -171,6 +200,10 @@ def _local_bpe(
                     stats[p] += sign * n
                     if stats[p] <= 0:
                         del stats[p]
+                    elif sign > 0:
+                        # keep the heap invariant: every increase gets
+                        # an exact entry (decreases stay lazy)
+                        heapq.heappush(heap, (-stats[p], p))
                     d = index[p]
                     d[w] = d.get(w, 0) + sign
                     if d[w] <= 0:

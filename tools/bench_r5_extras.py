@@ -113,6 +113,11 @@ def leg_bpe_local() -> None:
 
     rows = int(os.environ.get("R5_BPE_ROWS", "1000000"))
     merges = int(os.environ.get("R5_BPE_MERGES", "32000"))
+    # the 1M-row code table's vocabulary exceeds train_bpe's default 2M
+    # driver cap (the leg exists to measure the DRIVER-LOCAL loop at a
+    # real merge count, so raise the cap rather than silently fall back
+    # to the distributed path)
+    vocab_max = int(os.environ.get("R5_BPE_VOCAB_MAX", "50000000"))
     spark = get_spark(app_name="bpe-local-32k", cores=32,
                       shuffle_partitions=64)
     spark.sparkContext.setLogLevel("ERROR")
@@ -122,7 +127,10 @@ def leg_bpe_local() -> None:
     vocab = wf.count()
     t_scan = time.monotonic() - t_all
     t0 = time.monotonic()
-    table = bpem.train_bpe(df, "content", n_merges=merges, min_frequency=2)
+    table = bpem.train_bpe(
+        df, "content", n_merges=merges, min_frequency=2,
+        driver_vocab_max=vocab_max,
+    )
     got = table.count()
     wall = time.monotonic() - t0
     emit(
@@ -130,6 +138,7 @@ def leg_bpe_local() -> None:
             "leg": "bpe_local_32k",
             "rows": rows,
             "word_types": vocab,
+            "driver_vocab_max": vocab_max,
             "word_freq_scan_sec": round(t_scan, 2),
             "n_merges_requested": merges,
             "n_merges_learned": int(got),
