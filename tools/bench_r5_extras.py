@@ -118,18 +118,28 @@ def leg_bpe_local() -> None:
     # real merge count, so raise the cap rather than silently fall back
     # to the distributed path)
     vocab_max = int(os.environ.get("R5_BPE_VOCAB_MAX", "50000000"))
+    # the 1M-row synthetic code table carries ~10^7 word TYPES (random
+    # identifiers), and the full-vocab driver-local loop's one-time
+    # costs (collect + dict/index init) alone exceed an hour — measured
+    # and abandoned at 74 min. Real tokenizer trainers subsample at
+    # this point (SentencePiece's input_sentence_size); the leg does
+    # the same through train_fraction's deterministic word-TYPE hash
+    # sample (semantics documented on word_frequencies), recording the
+    # wall for the path a user actually runs on a corpus this wide.
+    fraction = os.environ.get("R5_BPE_FRACTION", "0.05")
+    frac = float(fraction) if fraction else None
     spark = get_spark(app_name="bpe-local-32k", cores=32,
                       shuffle_partitions=64)
     spark.sparkContext.setLogLevel("ERROR")
     df = _word_table(spark, rows)
     t_all = time.monotonic()
-    wf = bpem.word_frequencies(df, "content")
+    wf = bpem.word_frequencies(df, "content", frac)
     vocab = wf.count()
     t_scan = time.monotonic() - t_all
     t0 = time.monotonic()
     table = bpem.train_bpe(
         df, "content", n_merges=merges, min_frequency=2,
-        driver_vocab_max=vocab_max,
+        driver_vocab_max=vocab_max, train_fraction=frac,
     )
     got = table.count()
     wall = time.monotonic() - t0
@@ -137,7 +147,8 @@ def leg_bpe_local() -> None:
         {
             "leg": "bpe_local_32k",
             "rows": rows,
-            "word_types": vocab,
+            "word_types_sampled": vocab,
+            "train_fraction": frac,
             "driver_vocab_max": vocab_max,
             "word_freq_scan_sec": round(t_scan, 2),
             "n_merges_requested": merges,
