@@ -74,12 +74,30 @@ def word_frequencies(
     return w.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
 
 
-def _merge_pair(symbols: Column, left: str, right: str) -> Column:
-    """Row-local merge of every adjacent (left, right) occurrence in a
-    symbol array — an expression fold carrying (output-so-far, skip):
+def _merge_pairs(
+    symbols: Column, pairs: "list[tuple[str, str]]"
+) -> Column:
+    """Row-local merge of every adjacent occurrence of ANY pair in
+    ``pairs`` — ONE expression fold carrying (output-so-far, skip):
     when the previous element merged with this one, this one is
     consumed. Left-to-right, non-overlapping — exactly the reference
-    algorithm's replacement order."""
+    algorithm's replacement order.
+
+    The batch form is the distributed loop's hot kernel: higher-order
+    folds are CodegenFallback (interpreted), so applying a batch of k
+    merges as k stacked folds costs k interpreted passes over every
+    symbol array per job. One pass with a literal left→right map costs
+    1. Correctness requires the batch be pairwise symbol-disjoint AND
+    concatenation-free (no member's symbol equals another member's
+    merged output) — exactly what :func:`select_disjoint_batch`
+    guarantees — so a single pass sees the same adjacencies every
+    per-merge sequential pass would: a merge's output symbol can never
+    be another batch member's input, and disjoint adjacencies commute.
+    The map's lefts are unique by disjointness, so left→right lookup
+    is well-defined."""
+    pair_map = F.create_map(
+        *[F.lit(x) for pair in pairs for x in pair]
+    )
     stepped = F.aggregate(
         F.transform(symbols, lambda s, i: F.struct(s.alias("s"), i.alias("i"))),
         F.struct(
@@ -91,16 +109,20 @@ def _merge_pair(symbols: Column, left: str, right: str) -> Column:
             F.struct(acc["out"].alias("out"), F.lit(False).alias("skip")),
         ).otherwise(
             F.when(
-                (e["s"] == F.lit(left))
-                # try_element_at: the lookahead runs past the array end
-                # on the last symbol, which plain element_at makes an
-                # ANSI INVALID_ARRAY_INDEX error instead of NULL
-                & (
-                    F.try_element_at(symbols, e["i"] + 2) == F.lit(right)
-                ),
+                # this symbol opens one of the batch's pairs and the
+                # lookahead matches that pair's right side.
+                # try_element_at twice: the map lookup is NULL for a
+                # non-left symbol, and the array lookahead runs past
+                # the end on the last symbol — plain element_at makes
+                # both an ANSI error instead of NULL
+                F.try_element_at(pair_map, e["s"])
+                == F.try_element_at(symbols, e["i"] + 2),
                 F.struct(
                     F.array_append(
-                        acc["out"], F.lit(left + right)
+                        acc["out"],
+                        F.concat(
+                            e["s"], F.try_element_at(symbols, e["i"] + 2)
+                        ),
                     ).alias("out"),
                     F.lit(True).alias("skip"),
                 ),
@@ -113,6 +135,11 @@ def _merge_pair(symbols: Column, left: str, right: str) -> Column:
         ),
     )
     return stepped["out"]
+
+
+def _merge_pair(symbols: Column, left: str, right: str) -> Column:
+    """Single-merge form of :func:`_merge_pairs` (a one-entry batch)."""
+    return _merge_pairs(symbols, [(left, right)])
 
 
 def _local_bpe(
@@ -219,9 +246,16 @@ def select_disjoint_batch(
     (already in the pinned order: count DESC, pair ASC). Two merges
     interact iff they share a symbol — (a,b) then (b,c) changes (b,c)'s
     count; disjoint merges touch disjoint adjacencies, so their counts
-    and row-local applications commute. Shared by the distributed loop
-    and the pure-Python test mirror so the selection rule cannot
-    drift."""
+    and row-local applications commute. An earlier member's merged
+    OUTPUT (left+right concatenated) is also excluded: a later
+    candidate whose symbol textually equals it (e.g. ("a","b") then
+    ("ab","c")) would see adjacencies the earlier merge just created,
+    making the result order-dependent — and it is exactly the corner
+    where a one-pass batch application (``_merge_pairs``) would
+    diverge from per-merge sequential passes. Excluding it keeps both
+    properties: order-independence and single-pass ≡ sequential.
+    Shared by the distributed loop and the pure-Python test mirror so
+    the selection rule cannot drift."""
     chosen: list[tuple[str, str]] = []
     used: set[str] = set()
     for _c, left, right in ranked:
@@ -230,6 +264,7 @@ def select_disjoint_batch(
         chosen.append((left, right))
         used.add(left)
         used.add(right)
+        used.add(left + right)
         if len(chosen) >= batch:
             break
     return chosen
@@ -356,19 +391,21 @@ def train_bpe(
         if not ranked:
             break
         chosen = select_disjoint_batch(ranked, want)
-        # apply the whole batch row-locally with NO extra job: each
-        # merge is its own lazy projection (CollapseProject keeps them
-        # separate — the fold references its input twice and is not
-        # cheap, so no exponential expression inlining), and the next
-        # iteration's single pair-count collect evaluates them all.
-        # Disjoint merges commute, so applying in selection order
-        # equals any other order (a freshly merged l+r is a single
-        # symbol, never a pair, so later folds cannot see it as input).
+        # apply the whole batch row-locally as ONE lazy projection and
+        # ONE fold pass (_merge_pairs): folds are CodegenFallback
+        # (interpreted), so k stacked per-merge folds cost k passes
+        # over every symbol array in both the next pair-count job and
+        # the checkpoint materialization — measured as the batched
+        # loop's dominant cost (BENCH r5 extras: batching the JOBS 8×
+        # barely moved the wall). select_disjoint_batch guarantees the
+        # batch is symbol-disjoint and concatenation-free, so the
+        # single pass is exactly equivalent to applying the merges
+        # sequentially (see both docstrings).
         for left, right in chosen:
             merges.append((len(merges), left, right))
-            words = words.select(
-                "n", _merge_pair(F.col("sym"), left, right).alias("sym")
-            )
+        words = words.select(
+            "n", _merge_pairs(F.col("sym"), chosen).alias("sym")
+        )
         iters_since_ckpt += 1
         if iters_since_ckpt >= max(checkpoint_every // batch, 1):
             words = words.localCheckpoint(eager=True)

@@ -218,6 +218,22 @@ def test_select_disjoint_batch_rules():
     assert bpe.select_disjoint_batch(ranked, 1) == [("a", "b")]
 
 
+def test_select_disjoint_batch_excludes_concatenations():
+    """A later candidate whose symbol equals an earlier member's merged
+    OUTPUT is excluded: ("ab","x") after ("a","b") would see the pairs
+    the first merge just created, so accepting it would make the batch
+    order-dependent and break single-pass ≡ sequential application."""
+    ranked = [
+        (9, "a", "b"),
+        (8, "ab", "x"),  # left == "a"+"b" — excluded
+        (7, "y", "ab"),  # right == "a"+"b" — excluded
+        (6, "c", "d"),
+    ]
+    assert bpe.select_disjoint_batch(ranked, 4) == [
+        ("a", "b"), ("c", "d")
+    ]
+
+
 def test_encode_bpe_guards_staging_and_out_columns(spark, corpus_df):
     """An input already carrying the staging column name must not be
     clobbered, and an out_col collision fails loudly instead of
