@@ -177,18 +177,20 @@ def leg_bpe_dist() -> None:
     )
     got = table.count()
     wall = time.monotonic() - t0
-    emit(
-        {
-            "leg": "bpe_distributed_batched",
-            "rows": rows,
-            "merge_batch": batch,
-            "n_merges_requested": merges,
-            "n_merges_learned": int(got),
-            "train_wall_sec": round(wall, 2),
-            "merges_per_sec": round(got / wall, 2),
-            "sec_per_merge": round(wall / max(got, 1), 3),
-        }
-    )
+    rec = {
+        "leg": "bpe_distributed_batched",
+        "rows": rows,
+        "merge_batch": batch,
+        "n_merges_requested": merges,
+        "n_merges_learned": int(got),
+        "train_wall_sec": round(wall, 2),
+        "merges_per_sec": round(got / wall, 2),
+        "sec_per_merge": round(wall / max(got, 1), 3),
+    }
+    note = os.environ.get("R5_LEG_NOTE")
+    if note:
+        rec["note"] = note
+    emit(rec)
     spark.stop()
 
 
