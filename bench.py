@@ -584,33 +584,39 @@ def _pipeline_classifier(spark, input_path: str) -> str:
     return path
 
 
-def _pipeline_embeddings(spark, input_path: str, dim: int = 32) -> str:
+def _pipeline_embeddings(spark, input_path: str, dim: int = 64) -> str:
     """Deterministic clustered embedding side table for curate
     --semdedup, written once (untimed prep): one row per DISTINCT
     record_id, vectors drawn around 64 latent cluster centers with
-    hash-derived noise — same-cluster cosine ~0.94, so the 0.95
-    threshold prunes a realistic minority. At 100 TB this artifact
-    comes from an encoder pass; the bench synthesizes it because the
-    judged cost is the DEDUP stage, not the encoder."""
-    path = input_path + f"_emb{dim}"
+    hash-derived noise — the SAME signal/noise profile as
+    fixtures.embeddings_table (uniform [-1,1) center components +
+    0.3·uniform jitter, same-cluster cosine ~0.92), whose 1M-row
+    SemDeDup leg measures kept=46.5% at cells=N/150 / threshold 0.95
+    (bench_r5_extras). The first profile tried here (dim 32, 0.25
+    jitter, ~0.94 mean cosine) looked reasonable per-pair but was
+    DEGENERATE under transitive closure: k-means subdivides the 64
+    latent clusters into ~150-row cells tighter than the clusters
+    themselves, nearly every intra-cell pair cleared 0.95, and
+    union-find collapsed each cell to one keeper (kept 1,759 of 174k
+    — measured, then fixed). At 100 TB this artifact comes from an
+    encoder pass; the bench synthesizes it because the judged cost is
+    the DEDUP stage, not the encoder."""
+    path = input_path + f"_emb{dim}v2"
     if not os.path.exists(path + "/_SUCCESS"):
         df = spark.read.parquet(input_path)
         rid = F.concat_ws("@", F.concat_ws(":", "repo", "path"), "commit")
         base = df.select(rid.alias("record_id")).distinct()
         cl = F.pmod(F.xxhash64("record_id"), F.lit(64))
-
-        def unit(seed_col, j, scale):
-            return (
-                (
-                    F.pmod(F.xxhash64(seed_col, F.lit(j)), F.lit(2001))
-                    - F.lit(1000)
-                )
-                / F.lit(1000.0)
-            ) * F.lit(scale)
-
         comps = [
-            (unit(cl.cast("string"), j, 1.0)
-             + unit(F.col("record_id"), j + 10_000, 0.25)).cast("float")
+            (
+                F.xxhash64(F.lit(0x517), cl, F.lit(j)).cast("double")
+                / F.lit(float(2**63))
+                + F.lit(0.3)
+                * (
+                    F.xxhash64("record_id", F.lit(j)).cast("double")
+                    / F.lit(float(2**63))
+                )
+            ).cast("float")
             for j in range(dim)
         ]
         base.select(
