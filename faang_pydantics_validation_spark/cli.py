@@ -830,6 +830,24 @@ def cmd_curate(args) -> int:
     if args.checkpoint:
         # resumable sharded core — validates stage compatibility itself
         return _cmd_curate_checkpointed(spark, df, args, t0, owns_session)
+    # per-phase wall attribution for summary.phase_walls: Spark is lazy,
+    # so a phase's wall is the time its BLOCK holds the driver — blocks
+    # that contain an action (near-dup's eager component checkpoint,
+    # semdedup's training/pairs/keep materialization, decontaminate's
+    # probe-hit checkpoint, mixture's count, the final write) carry the
+    # cost of everything newly computed by that action, including
+    # upstream stages materializing for the first time. Approximate by
+    # construction, but it is the breakdown that localizes a
+    # non-scaling stage in the composed chain.
+    phase_walls: dict[str, float] = {}
+    _last_tick = time.monotonic()
+
+    def _tick(name: str) -> None:
+        nonlocal _last_tick
+        now = time.monotonic()
+        phase_walls[name] = round(now - _last_tick, 2)
+        _last_tick = now
+
     rid = F.concat_ws("@", F.concat_ws(":", "repo", "path"), "commit")
     if args.line_dedup:
         # corpus-level boilerplate line removal BEFORE any verdict stage
@@ -874,6 +892,7 @@ def cmd_curate(args) -> int:
         from pyspark import StorageLevel
 
         curated = persisted = curated.persist(StorageLevel.MEMORY_AND_DISK)
+    _tick("plan")
 
     if args.neardup:
         from faang_pydantics_validation_spark.ops.dedup import (
@@ -907,6 +926,7 @@ def cmd_curate(args) -> int:
             .withColumn("kept", F.size("drop_reasons") == 0)
             .drop("__nd")
         )
+        _tick("near_dup")
 
     if args.semdedup:
         # semantic dedup among the survivors (SemDeDup,
@@ -953,7 +973,17 @@ def cmd_curate(args) -> int:
                 file=sys.stderr,
             )
         kept_ids = curated.filter("kept").select("record_id").distinct()
-        vecs = emb.join(kept_ids, "record_id")
+        # materialize the covered-vector table ONCE: everything the
+        # SemDeDup stage runs afterwards — coverage aggs, centroid
+        # seeding, each Lloyd assignment pass, the pair stage, the
+        # keep agg — would otherwise re-derive this join from the
+        # persisted 1M-row annotate frame (scan + shuffle join) on
+        # every action. The table is covered-rows × dim (the index
+        # artifact's own size, the same volume the assignment kernel
+        # ships anyway), stored executor-local like any persist —
+        # measured 5-6 redundant derivations in the composed 10-stage
+        # chain before this checkpoint.
+        vecs = emb.join(kept_ids, "record_id").localCheckpoint(eager=True)
         # join-coverage + uniqueness validation (two small aggs): a key
         # FORMAT mismatch (e.g. 'repo/path@commit' vs the
         # 'repo:path@commit' curate builds) would otherwise make the
@@ -1000,6 +1030,12 @@ def cmd_curate(args) -> int:
             .select("record_id")
             .distinct()
             .select("record_id", F.lit(True).alias("__sd"))
+            # loser-id set is duplicate-group-sized; materialize it so
+            # the three downstream actions (decontaminate's probe-hit
+            # checkpoint, mixture's count, the final write) join a
+            # checkpointed id list instead of each re-running the
+            # assignment pass + keep agg
+            .localCheckpoint(eager=True)
         )
         curated = (
             curated.join(sd_losers, "record_id", "left")
@@ -1013,6 +1049,7 @@ def cmd_curate(args) -> int:
             .withColumn("kept", F.size("drop_reasons") == 0)
             .drop("__sd")
         )
+        _tick("semantic_dedup")
 
     if args.decontaminate:
         # eval-set decontamination among the survivors: n-gram
@@ -1027,6 +1064,7 @@ def cmd_curate(args) -> int:
             _load_probes(spark, args.decontaminate),
             args.decontaminate_containment,
         )
+        _tick("decontaminate")
 
     mixture_rates: dict[str, float] = {}
     if args.mixture:
@@ -1090,6 +1128,7 @@ def cmd_curate(args) -> int:
             )
             .withColumn("kept", F.size("drop_reasons") == 0)
         )
+        _tick("mixture")
 
     # the partition column must be a STRING: parquet partition values
     # round-trip as directory names, so a boolean would read back as the
@@ -1104,10 +1143,12 @@ def cmd_curate(args) -> int:
     )
     if persisted is not None:
         persisted.unpersist()  # counters below read the WRITTEN parquet
+    _tick("write")
 
     # counters from a column-pruned read-back of what was written —
     # never a second pass over the input
     out_df, summary = _curate_counters(spark, args)
+    _tick("counters")
 
     if args.line_dedup:
         # aggregate view of the payload-rewriting pre-stage, from the
@@ -1197,6 +1238,8 @@ def cmd_curate(args) -> int:
             "total_tokens": int(st.total_tokens),
             "packing_efficiency": float(st.packing_efficiency),
         }
+        _tick("pack")
+    summary["phase_walls"] = phase_walls
     # final wall covers every stage incl. baseline scoring and packing
     summary["wall_sec"] = round(time.monotonic() - t0, 2)
     os.makedirs(args.output, exist_ok=True)
