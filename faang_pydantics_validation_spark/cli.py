@@ -827,6 +827,12 @@ def cmd_curate(args) -> int:
     df = _load_input(spark, args)
 
     t0 = time.monotonic()
+    # entry snapshot of executor-block-holding RDD ids: the epilogue
+    # frees exactly the blocks THIS run checkpoints (never a caller's
+    # own persisted frames in a shared session)
+    rdds0 = set(
+        spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    )
     if args.checkpoint:
         # resumable sharded core — validates stage compatibility itself
         return _cmd_curate_checkpointed(spark, df, args, t0, owns_session)
@@ -879,20 +885,29 @@ def cmd_curate(args) -> int:
     # mixture), the DAG branches: each branch would re-derive the whole
     # row-local annotate chain (quality + secrets + license + the
     # repetition folds — by far the most expensive per-row compute) plus
-    # the dedup window from the raw scan. Persist the post-dedup
+    # the dedup window from the raw scan. Materialize the post-dedup
     # annotated frame ONCE instead: one disk-spillable materialization
-    # vs 3-4 full recomputes of regex/fold-heavy kernels. Same call on a
-    # real cluster (executor-local storage); measured 1M/8-core wall
-    # dropped ~3x with all stages on.
+    # vs 3-4 full recomputes of regex/fold-heavy kernels.
+    #
+    # localCheckpoint, not persist: persist caches the DATA but keeps
+    # the full logical plan, so every downstream action (near-dup's
+    # component checkpoints, semdedup's aggs, decontaminate's probe
+    # checkpoint, mixture's count, the final write) re-runs Catalyst
+    # analysis + optimization over the giant fused expression tree —
+    # a driver-SERIAL cost paid per action that caps the composed
+    # chain's core-count scaling. Checkpointing truncates the plan to
+    # a leaf, so downstream planning is O(small). The storage cost is
+    # the same executor-local MEMORY_AND_DISK blocks a persist would
+    # hold; the blocks are freed in the epilogue below. On a real
+    # cluster prefer setCheckpointDir + .checkpoint() if executor loss
+    # must be survivable mid-run.
     multi_pass = bool(
         args.neardup or args.semdedup or args.decontaminate or args.mixture
     )
     persisted = None
     if multi_pass:
-        from pyspark import StorageLevel
-
-        curated = persisted = curated.persist(StorageLevel.MEMORY_AND_DISK)
-    _tick("plan")
+        curated = persisted = curated.localCheckpoint(eager=True)
+    _tick("core")
 
     if args.neardup:
         from faang_pydantics_validation_spark.ops.dedup import (
@@ -1142,7 +1157,15 @@ def cmd_curate(args) -> int:
         .parquet(f"{args.output}/curated")
     )
     if persisted is not None:
-        persisted.unpersist()  # counters below read the WRITTEN parquet
+        # free every executor-local block this run checkpointed (the
+        # core frame plus the semdedup side tables and the component
+        # loop's per-round truncations): checkpointed RDDs never reach
+        # the Dataset cache manager, so df.unpersist() can't see them —
+        # diff the context's persistent-RDD set against the entry
+        # snapshot instead. Counters below read the WRITTEN parquet.
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for rid_ in [k for k in jmap.keySet().toArray() if k not in rdds0]:
+            jmap.get(rid_).unpersist(False)
     _tick("write")
 
     # counters from a column-pruned read-back of what was written —
