@@ -496,6 +496,13 @@ def duplicate_components(
         .withColumn("comp", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    # empty pair graph (a clean corpus — the common near-dup outcome):
+    # the loop below would still pay a full round of join jobs over
+    # empty frames; one cheap scan of the already-checkpointed edges
+    # skips it. Every per-round job is driver-serial FIXED cost in a
+    # composed pipeline, so rounds and jobs-per-round are both minimized.
+    if edges.limit(1).count() == 0:
+        max_iter = 0
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges["src"] == labels["id"])
@@ -504,24 +511,27 @@ def duplicate_components(
         )
         prop = labels.join(nbr, labels["id"] == nbr["nid"], "left").select(
             "id",
+            F.col("comp").alias("__old"),
             F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias(
                 "comp"
             ),
         )
         ptr = prop.select(F.col("id").alias("pid"), F.col("comp").alias("pcomp"))
+        # convergence flag rides INSIDE the checkpointed round: the old
+        # per-round `new JOIN labels` change-probe was one extra join
+        # job per round; a flag column costs nothing and the probe
+        # becomes a cheap scan of blocks already in memory
         new = (
             prop.join(ptr, prop["comp"] == ptr["pid"], "left")
-            .select("id", F.coalesce("pcomp", "comp").alias("comp"))
+            .select(
+                "id",
+                F.coalesce("pcomp", "comp").alias("comp"),
+                (F.coalesce("pcomp", "comp") != F.col("__old")).alias("__chg"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new
+        changed = new.filter("__chg").limit(1).count()
+        labels = new.drop("__chg")
         if changed == 0:
             break
     return labels.select(
