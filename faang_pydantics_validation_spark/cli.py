@@ -941,6 +941,11 @@ def cmd_curate(args) -> int:
             .withColumn("kept", F.size("drop_reasons") == 0)
             .drop("__nd")
         )
+        if args.semdedup or args.decontaminate or args.mixture:
+            # later multi-pass stages run 2+ actions each over this
+            # frame; truncate once so they scan blocks instead of
+            # re-probing the core-vs-losers join per action
+            curated = curated.localCheckpoint(eager=True)
         _tick("near_dup")
 
     if args.semdedup:
@@ -1045,12 +1050,6 @@ def cmd_curate(args) -> int:
             .select("record_id")
             .distinct()
             .select("record_id", F.lit(True).alias("__sd"))
-            # loser-id set is duplicate-group-sized; materialize it so
-            # the three downstream actions (decontaminate's probe-hit
-            # checkpoint, mixture's count, the final write) join a
-            # checkpointed id list instead of each re-running the
-            # assignment pass + keep agg
-            .localCheckpoint(eager=True)
         )
         curated = (
             curated.join(sd_losers, "record_id", "left")
@@ -1064,6 +1063,11 @@ def cmd_curate(args) -> int:
             .withColumn("kept", F.size("drop_reasons") == 0)
             .drop("__sd")
         )
+        if args.decontaminate or args.mixture:
+            # same rationale as the near-dup boundary: decontaminate's
+            # probe checkpoint, mixture's count and the final write each
+            # re-probe the sd-loser join otherwise
+            curated = curated.localCheckpoint(eager=True)
         _tick("semantic_dedup")
 
     if args.decontaminate:

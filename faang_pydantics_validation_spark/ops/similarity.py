@@ -1243,6 +1243,15 @@ def semdedup(
         score_col="__csim",
         kernel=kernel,
     )
+    # the assignment feeds THREE downstream consumers — the pair stage
+    # (materialized by the component loop's edge checkpoint), the
+    # keep-policy agg, and the labeled output join — and the last two
+    # are sibling branches of one plan, which Spark will not dedupe
+    # (no exchange to reuse above a mapInPandas kernel). Without this
+    # truncation the corpus-vs-centroid scoring pass runs three times;
+    # the checkpointed table is covered-rows × (id, vec, cell, score) —
+    # the same volume the kernel already shipped once
+    assigned = assigned.localCheckpoint(eager=True)
     from faang_pydantics_validation_spark.ops.dedup import (
         duplicate_components,
     )

@@ -176,6 +176,35 @@ def test_cli_checkpointed_run_and_resume(tmp_path, spark):
     assert n == 2000
 
 
+def test_cli_curate_frees_checkpoint_blocks_in_shared_session(
+    tmp_path, spark
+):
+    """A multi-pass curate run checkpoints the fused core plus the
+    component-loop truncations; in a SHARED session those executor-local
+    blocks must be freed on exit (the epilogue diffs the persistent-RDD
+    set against an entry snapshot), while a caller's own persisted frame
+    survives untouched."""
+    caller_df = spark.range(100).persist()
+    caller_df.count()  # materialize the caller's block
+    before = set(
+        spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    )
+    assert before  # the caller's own persisted RDD is visible
+
+    out_dir = str(tmp_path / "cur_blocks")
+    rc = main(
+        ["curate", "--synthetic", "2000", "--output", out_dir,
+         "--neardup", "--mixture", "python=0.5,go=0.5", "--cores", "4"]
+    )
+    assert rc == 0
+    after = set(
+        spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    )
+    assert after == before  # run blocks freed, caller's block intact
+    assert caller_df.count() == 100
+    caller_df.unpersist()
+
+
 def test_cli_curate_repetition_flag(tmp_path, spark):
     """--repetition drops repetitious docs (Gopher screens) with the
     metric name as the audit reason; without the flag the same doc is

@@ -860,6 +860,21 @@ def test_duplicate_components_long_chain_converges_logarithmically(spark):
     assert all(r.component_id == 0 for r in got)
 
 
+def test_duplicate_components_empty_pairs_and_output_shape(spark):
+    """An empty pair graph short-circuits (no propagation rounds) but
+    still returns the contract (doc_id, component_id) shape, and the
+    convergence flag column never leaks into the result."""
+    empty = spark.createDataFrame([], "id_a int, id_b int")
+    out = dd.duplicate_components(empty)
+    assert out.columns == ["doc_id", "component_id"]
+    assert out.count() == 0
+    # flag column stays internal on the non-empty path too
+    pairs = spark.createDataFrame([(1, 2)], "id_a int, id_b int")
+    out2 = dd.duplicate_components(pairs)
+    assert out2.columns == ["doc_id", "component_id"]
+    assert {r.doc_id: r.component_id for r in out2.collect()} == {1: 1, 2: 1}
+
+
 def test_drop_duplicate_components_end_to_end(spark, docs):
     """minhash pairs → components → one deterministic survivor (min id)
     per near-dup cluster; unpaired docs untouched."""
