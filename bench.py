@@ -144,6 +144,39 @@ def _cpu_control_rate(procs: int, seconds: float = 8.0) -> float:
     return total / (time.monotonic() - t0)
 
 
+def _membw_control_rate(procs: int, seconds: float = 8.0) -> float:
+    """Memory-bandwidth-bound host control: each process sweeps a 64 MB
+    buffer with ``bytes.count`` (a C byte-scan far larger than LLC);
+    returns total bytes scanned/sec. sha256 (above) is ALU-bound with a
+    64-BYTE working set, so it measures core scaling only — a
+    string/shuffle-heavy engine like this one is bounded by the SHARED
+    memory system, which does NOT scale 4x when cores do. Reporting
+    both controls brackets the host: engine efficiency should be read
+    against the membw control's own ceiling, not against 1.0
+    (round-5 event logs: executor CPU time inflates ~28% going 2->8
+    cores on identical input — the memory system, not the engine)."""
+    import multiprocessing as mp
+
+    def sweep(q):
+        data = bytes(range(256)) * (64 << 12)  # 64 MiB, all byte values
+        n = 0
+        end = time.monotonic() + seconds
+        while time.monotonic() < end:
+            data.count(b"\x17")
+            n += len(data)
+        q.put(n)
+
+    q: mp.Queue = mp.Queue()
+    ps = [mp.Process(target=sweep, args=(q,)) for _ in range(procs)]
+    for p in ps:
+        p.start()
+    t0 = time.monotonic()
+    total = sum(q.get() for _ in ps)
+    for p in ps:
+        p.join()
+    return total / (time.monotonic() - t0)
+
+
 def ivf_crossover(spark) -> dict:
     """IVF-vs-exact ANN crossover at a corpus size where bucketing pays:
     build the inverted file ONCE (centroid selection + assignment +
@@ -709,6 +742,14 @@ def pipeline_e2e_block(rows: int, small: int, big: int, shuffle: int) -> dict:
             out["packed"] = summary.get("packed")
             out["classifier"] = summary.get("classifier")
             out["line_dedup"] = summary.get("line_dedup")
+        if n == rows and summary.get("phase_walls"):
+            # keep the per-phase wall of the BEST full-size run at each
+            # width so a sub-0.8 efficiency is attributable to a phase,
+            # not just observable in the total
+            key = f"phase_walls_{'4n' if cores == big else 'n'}"
+            prev = out.get(key)
+            if prev is None or summary["wall_sec"] < sum(prev.values()):
+                out[key] = summary["phase_walls"]
         return float(summary["wall_sec"])
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_PIPELINE_RUNS", "2"))
@@ -960,6 +1001,17 @@ def main() -> None:
             "hashes_per_sec_4n": round(ctl_big, 0),
             "efficiency": round(ctl_big / (4.0 * ctl_small), 3),
         }
+        mbw_small = _membw_control_rate(small)
+        mbw_big = _membw_control_rate(big)
+        result["host_control_membw"] = {
+            "kind": "pure-userspace 64 MiB bytes.count sweep,"
+            " multiprocessing, 8s/level",
+            "procs_n": small,
+            "procs_4n": big,
+            "gb_per_sec_n": round(mbw_small / 1e9, 2),
+            "gb_per_sec_4n": round(mbw_big / 1e9, 2),
+            "efficiency": round(mbw_big / (4.0 * mbw_small), 3),
+        }
         result["scaling"] = {
             "cores_n": small,
             "cores_4n": big,
@@ -1031,6 +1083,10 @@ def _compact_headline(result: dict, full_rel: str) -> dict:
         compact["host_control_efficiency"] = result["host_control"][
             "efficiency"
         ]
+    if "host_control_membw" in result:
+        compact["host_control_membw_efficiency"] = result[
+            "host_control_membw"
+        ]["efficiency"]
     if "pipeline_e2e" in result:
         p = result["pipeline_e2e"]
         compact["pipeline_e2e"] = {

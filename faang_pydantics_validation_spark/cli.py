@@ -108,6 +108,60 @@ def _build_session(args):
     )
 
 
+def _tune_scan_splits(spark, path) -> None:
+    """Size ``spark.sql.files.maxPartitionBytes`` from the ACTUAL input
+    so the scan stage is at least ~3 tasks per core.
+
+    The row-local annotate chain (quality + secrets + repetition folds +
+    classifier — the most expensive per-row compute in curate) executes
+    inside the SCAN stage, before the first shuffle. Spark bin-packs
+    small files up to maxPartitionBytes (default 128 MB) per split, so a
+    sub-GB input collapses to fewer splits than the session has cores
+    and the heaviest stage runs under-parallel (measured: a 262 MB /
+    64-file table planned ~5 splits — 3 of 8 cores idle through the
+    whole fused core, core-phase scaling efficiency 0.68). At 100 TB
+    this is a NO-OP: the clamp keeps production split sizing (128 MB)
+    whenever splits >> cores.
+    """
+    try:
+        jvm = spark._jvm
+        hconf = spark.sparkContext._jsc.sc().hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        total = int(
+            p.getFileSystem(hconf).getContentSummary(p).getLength()
+        )
+    except Exception:
+        return  # unreadable/remote-unsupported path: keep defaults
+    cores = spark.sparkContext.defaultParallelism
+    if not total or not cores:
+        return
+    target = max(4 << 20, min(128 << 20, total // (3 * cores)))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(target))
+    # the per-file open cost counts toward the bin when packing many
+    # small files; scale it with the split target so packing tracks
+    # real bytes instead of the 4 MB default dwarfing a 4 MB target
+    spark.conf.set(
+        "spark.sql.files.openCostInBytes", str(max(1, target // 32))
+    )
+    # POST-shuffle width matters just as much: AQE's parallelism-first
+    # coalescing targets totalBytes/defaultParallelism, i.e. ONE task
+    # per core — and the fused annotate chain (75% of all executor time,
+    # measured) sits in a post-shuffle stage, where 9 tasks on 8 cores
+    # is 2 waves with half the machine idle in the second (8-core
+    # utilization 0.70 vs 0.836 at 2 cores in the event log). Respect
+    # an input-sized advisory instead, so heavy stages run ~3 waves of
+    # small tasks at every width; the clamp keeps the advisory at the
+    # production 64-128 MB scale for big inputs, where splits >> cores
+    # already and this is again a no-op.
+    spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst", "false"
+    )
+    spark.conf.set(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        str(min(64 << 20, target)),
+    )
+
+
 def _load_input(spark, args):
     from pyspark.sql import functions as F
 
@@ -117,6 +171,7 @@ def _load_input(spark, args):
         return fixtures.code_files(spark, args.synthetic)
     reader = spark.read
     if args.format == "parquet":
+        _tune_scan_splits(spark, args.input)
         return reader.parquet(args.input)
     if args.format == "iceberg":
         return spark.table(args.input)
@@ -824,6 +879,16 @@ def cmd_curate(args) -> int:
     owns_session = SparkSession.getActiveSession() is None
     spark = _build_session(args)
     spark.sparkContext.setLogLevel("WARN")
+    # snapshot the AQE coalescing confs _tune_scan_splits (inside
+    # _load_input) retunes for the fused core, so the multi-pass stages
+    # below can restore them at the core barrier
+    _aqe_restore = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
     df = _load_input(spark, args)
 
     t0 = time.monotonic()
@@ -907,6 +972,16 @@ def cmd_curate(args) -> int:
     persisted = None
     if multi_pass:
         curated = persisted = curated.localCheckpoint(eager=True)
+        # the fine advisory partition size set by _tune_scan_splits is
+        # sized for the BYTE-heavy fused core it just materialized. The
+        # multi-pass stages that follow are the opposite shape — byte-
+        # small but compute-dense (SemDeDup's per-cell gram matrices,
+        # the minhash band join, probe containment): coalescing THEM by
+        # bytes serializes real compute (measured: semdedup phase 46 s →
+        # 86 s under a run-wide 11 MB advisory). Restore parallelism-
+        # first coalescing for everything after the core barrier.
+        for k, v in _aqe_restore.items():
+            spark.conf.set(k, v)
     _tick("core")
 
     if args.neardup:

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # ------------------------------------------------------------------ exact --
 
@@ -452,11 +453,60 @@ def simhash_candidates(
 # ------------------------------------------------------------- components --
 
 
+#: Edge-count ceiling for the driver-local union-find fast path of
+#: :func:`duplicate_components`. A near-dup pair graph is edges over the
+#: DUPLICATED corpus slice only (pairs << corpus), so at bench scale it
+#: is thousands-to-millions of edges — and the distributed loop's cost
+#: there is not compute but JOB CHURN: each round is 2 joins + a
+#: checkpoint + a convergence probe, ~8-10 AQE stage-jobs of pure
+#: driver-serial scheduling latency (measured: ~150 sub-second jobs,
+#: ~30 s core-count-independent, in the composed curate chain). Below
+#: this ceiling ONE Arrow collect + an in-memory union-find replaces the
+#: whole loop; above it (a 100 TB corpus with billions of duplicate
+#: edges) the O(log diameter) distributed loop runs unchanged. Same
+#: driver-local-when-it-fits tier the BPE trainer uses
+#: (ops/bpe.py driver_vocab_max).
+DRIVER_EDGES_MAX = 2_000_000
+
+
+def _components_local(edges_pdf) -> list[tuple]:
+    """Union-find over a collected edge list; returns the same
+    (doc_id, component_id = min reachable id) pairs as the distributed
+    loop, exactly (min-label propagation converges to the per-component
+    minimum, which is what the DSU computes here)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(edges_pdf["src"], edges_pdf["dst"]):
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict = {}
+    roots = {x: find(x) for x in parent}
+    for x, r in roots.items():
+        m = comp_min.get(r)
+        if m is None or x < m:
+            comp_min[r] = x
+    return [(x, comp_min[r]) for x, r in roots.items()]
+
+
 def duplicate_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    driver_edges_max: int | None = None,
 ) -> DataFrame:
     """Connected components over near-duplicate candidate pairs:
     ``(doc_id, component_id)`` for every id appearing in ``pairs``, where
@@ -483,6 +533,11 @@ def duplicate_components(
 
     Ids keep their column type; "minimum" is the type's natural ordering.
     Docs in no pair are absent (they are their own singleton component).
+
+    ``driver_edges_max`` (default :data:`DRIVER_EDGES_MAX`): edge-count
+    ceiling for the driver-local union-find fast path — below it, one
+    bounded Arrow collect + an in-memory DSU replaces the round loop
+    with an identical result; 0 forces the distributed loop.
     """
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = (
@@ -501,8 +556,27 @@ def duplicate_components(
     # empty frames; one cheap scan of the already-checkpointed edges
     # skips it. Every per-round job is driver-serial FIXED cost in a
     # composed pipeline, so rounds and jobs-per-round are both minimized.
-    if edges.limit(1).count() == 0:
+    if driver_edges_max is None:
+        driver_edges_max = DRIVER_EDGES_MAX
+    n_edges = edges.count()
+    if n_edges == 0:
         max_iter = 0
+    elif n_edges <= driver_edges_max:
+        # driver-local fast path: the pair graph fits one bounded Arrow
+        # collect, so the whole O(log d)-round join loop (and its ~10
+        # scheduling-latency jobs per round) collapses to a single job
+        # plus an in-memory DSU. Result is bit-identical to the loop —
+        # pinned by tests/test_ops.py (local == distributed on a random
+        # multi-component graph).
+        spark = pairs.sparkSession
+        out = _components_local(edges.toPandas())
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", edges.schema["src"].dataType),
+                T.StructField("component_id", edges.schema["src"].dataType),
+            ]
+        )
+        return spark.createDataFrame(out, schema)
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges["src"] == labels["id"])

@@ -914,3 +914,37 @@ def test_cli_curate_checkpointed_decontaminate_matches_unsharded(
     b = spark.read.parquet(f"{out_dir}/curated").filter("kept")
     assert a.select("record_id").exceptAll(b.select("record_id")).count() == 0
     assert b.select("record_id").exceptAll(a.select("record_id")).count() == 0
+
+
+def test_tune_scan_splits_widens_small_input(tmp_path, spark):
+    """A small many-file parquet input must plan at least ~3 scan tasks
+    per core: the row-local annotate chain runs inside the scan stage,
+    so bin-packing a sub-GB input into fewer splits than cores leaves
+    cores idle through curate's heaviest stage (measured 0.68 core-phase
+    scaling before the fix). The clamp keeps the 128 MB production
+    split size for large inputs — at cluster scale this is a no-op."""
+    from faang_pydantics_validation_spark import fixtures
+    from faang_pydantics_validation_spark.cli import _tune_scan_splits
+
+    src = str(tmp_path / "many_files")
+    fixtures.code_files(spark, 20000, partitions=16).write.mode(
+        "overwrite"
+    ).parquet(src)
+    before = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        _tune_scan_splits(spark, src)
+        target = int(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+        assert 4 << 20 <= target <= 128 << 20
+        cores = spark.sparkContext.defaultParallelism
+        n_parts = spark.read.parquet(src).rdd.getNumPartitions()
+        # 16 files, tiny bytes: the 4 MB floor packs several files per
+        # split but must still beat one-split-per-core under-parallelism
+        assert n_parts >= min(16, cores)
+        # a missing path leaves the session untouched
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "7340032")
+        _tune_scan_splits(spark, str(tmp_path / "nope"))
+        assert (
+            spark.conf.get("spark.sql.files.maxPartitionBytes") == "7340032"
+        )
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", before)

@@ -855,9 +855,48 @@ def test_duplicate_components_long_chain_converges_logarithmically(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(32)], "id_a int, id_b int"
     )
-    got = dd.duplicate_components(pairs, max_iter=10).collect()
+    # driver_edges_max=0 forces the distributed loop — the default would
+    # take the driver-local union-find fast path and never exercise the
+    # doubling step this test pins
+    got = dd.duplicate_components(
+        pairs, max_iter=10, driver_edges_max=0
+    ).collect()
     assert len(got) == 33
     assert all(r.component_id == 0 for r in got)
+
+
+def test_duplicate_components_local_equals_distributed(spark):
+    """The driver-local union-find fast path must be bit-identical to
+    the distributed min-label/pointer-jumping loop on a random
+    multi-component graph (chains, cliques, singleton-free ids, string
+    AND int keys)."""
+    import random
+
+    rng = random.Random(7)
+    edges = []
+    for comp in range(40):  # chains + extra random intra-component edges
+        nodes = [comp * 100 + i for i in range(rng.randint(2, 12))]
+        edges += list(zip(nodes, nodes[1:]))
+        if len(nodes) > 3:
+            edges.append((rng.choice(nodes), rng.choice(nodes)))
+    rng.shuffle(edges)
+    for schema, cast in (
+        ("id_a int, id_b int", lambda x: x),
+        ("id_a string, id_b string", lambda x: f"doc-{x:06d}"),
+    ):
+        rows = [(cast(a), cast(b)) for a, b in edges]
+        pairs = spark.createDataFrame(rows, schema)
+        local = {
+            r.doc_id: r.component_id
+            for r in dd.duplicate_components(pairs).collect()
+        }
+        dist = {
+            r.doc_id: r.component_id
+            for r in dd.duplicate_components(
+                pairs, driver_edges_max=0
+            ).collect()
+        }
+        assert local == dist and local
 
 
 def test_duplicate_components_empty_pairs_and_output_shape(spark):
